@@ -1,0 +1,163 @@
+"""Size/content threshold guards + greedy outlier eviction.
+
+Re-expresses ``DuplicateSet.check_differences`` (ref deduplicate.py:270-359):
+
+1. **Set-level short-circuit, in column algebra** (ref deduplicate.py:292-301):
+   a group passes wholesale when its size spread is within threshold AND
+   (content check disabled OR all members share one raw body hash). Deciding
+   this is one window pass; a set of true copies never walks the pairs — the
+   property the reference regression-tests (tests/test_performance.py:316-341).
+   At web scale this is what makes boilerplate mega-clusters O(n).
+
+2. **Greedy eviction, in applyInPandas** — only for the (rare) groups failing
+   the short-circuit: pairwise offenses with diff memoized per body-hash pair
+   (ref deduplicate.py:304-326), then evict the member with the most offending
+   pairs, ties broken on the row key for determinism (ref deduplicate.py:343-358),
+   until no offending pair remains. If fewer than 2 members would survive, the
+   whole set is skipped — 'size' when any size offense fired, else 'content'
+   (ref deduplicate.py:349-358, SizeDiffAboveThreshold/ContentDiffAboveThreshold).
+
+Content distance is the reference's exact metric: ``len("".join(unified_diff(
+lines_a, lines_b, fromfile='a', tofile='b', n=0, lineterm='\\n')))``
+(ref deduplicate.py:361-382).
+
+Scale guard beyond the reference: a group bigger than ``max_eviction_group``
+members that *still* fails the short-circuit would cost O(n^2) pairs; such
+groups are skipped outright with kind 'size' (spread breach) or 'content',
+and counted — a documented divergence that bounds worst-case work.
+"""
+
+from __future__ import annotations
+
+from difflib import unified_diff
+from itertools import combinations
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DedupConfig
+
+MAX_EVICTION_GROUP = 5000
+
+_EVICT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("evicted", T.BooleanType(), False),
+    T.StructField("guard_skip_kind", T.StringType(), True),
+])
+
+
+def _diff_len(lines_a: list[str], lines_b: list[str]) -> int:
+    """Reference content distance (ref deduplicate.py:361-382)."""
+    return len(
+        "".join(
+            unified_diff(
+                lines_a, lines_b,
+                fromfile="a", tofile="b", fromfiledate="", tofiledate="",
+                n=0, lineterm="\n",
+            )
+        )
+    )
+
+
+def _evict_group(pdf: pd.DataFrame, size_threshold: int, content_threshold: int,
+                 max_group: int) -> pd.DataFrame:
+    """Greedy eviction for one group (ref deduplicate.py:304-359)."""
+    urls = pdf["url"].tolist()
+    n = len(urls)
+    out = pd.DataFrame({"url": urls, "evicted": False, "guard_skip_kind": None})
+    out["guard_skip_kind"] = out["guard_skip_kind"].astype(object)
+
+    if n > max_group:
+        sizes = pdf["n_bytes"]
+        size_breach = size_threshold >= 0 and (sizes.max() - sizes.min()) > size_threshold
+        out["guard_skip_kind"] = "size" if size_breach else "content"
+        return out
+
+    sizes = dict(zip(urls, pdf["n_bytes"].tolist()))
+    bodies = dict(zip(urls, pdf["raw_hash"].tolist()))
+    texts = dict(zip(urls, pdf["text"].tolist()))
+
+    offending: dict[str, set[str]] = {}
+    size_offense = False
+    diffs: dict[frozenset, int] = {}
+    for a, b in combinations(urls, 2):
+        offense = False
+        if size_threshold >= 0 and abs(sizes[a] - sizes[b]) > size_threshold:
+            offense = size_offense = True
+        if not offense and content_threshold >= 0:
+            pair = frozenset((bodies[a], bodies[b]))
+            if pair not in diffs:
+                # One distinct body => both carry it => nothing to diff
+                # (ref deduplicate.py:316-318).
+                diffs[pair] = (
+                    0 if len(pair) == 1
+                    else _diff_len(texts[a].split("\n"), texts[b].split("\n"))
+                )
+            if diffs[pair] > content_threshold:
+                offense = True
+        if offense:
+            offending.setdefault(a, set()).add(b)
+            offending.setdefault(b, set()).add(a)
+
+    evicted: set[str] = set()
+    while any(offending.values()):
+        outlier = min(
+            (u for u, peers in offending.items() if peers),
+            key=lambda u: (-len(offending[u]), u),
+        )
+        evicted.add(outlier)
+        offending.pop(outlier)
+        for peers in offending.values():
+            peers.discard(outlier)
+
+    if evicted and n - len(evicted) < 2:
+        out["guard_skip_kind"] = "size" if size_offense else "content"
+        return out
+
+    out.loc[out["url"].isin(evicted), "evicted"] = True
+    return out
+
+
+def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
+                 max_eviction_group: int = MAX_EVICTION_GROUP) -> DataFrame:
+    """Annotate rows with ``evicted`` (bool) and ``guard_skip_kind``
+    ('size' | 'content' | null = whole-set skip).
+
+    Expects columns: url, text, n_bytes, raw_hash, ``key``.
+    Only groups failing the linear short-circuit enter the Arrow UDF; the
+    filter-gate is window algebra, so the common case never leaves the JVM.
+    """
+    st, ct = cfg.size_threshold, cfg.content_threshold
+    if st < 0 and ct < 0:
+        return df.withColumn("evicted", F.lit(False)).withColumn(
+            "guard_skip_kind", F.lit(None).cast("string"))
+
+    w = Window.partitionBy(key)
+    n = F.count(F.lit(1)).over(w)
+    spread_ok = (
+        F.lit(st < 0)
+        | ((F.max("n_bytes").over(w) - F.min("n_bytes").over(w)) <= F.lit(st))
+    )
+    one_body = F.size(F.collect_set("raw_hash").over(w)) == 1
+    passes = (n == 1) | (spread_ok & (F.lit(ct < 0) | one_body))
+    flagged = df.withColumn("_guard_pass", passes)
+
+    clean = flagged.filter(F.col("_guard_pass")).drop("_guard_pass").withColumn(
+        "evicted", F.lit(False)
+    ).withColumn("guard_skip_kind", F.lit(None).cast("string"))
+
+    suspicious = flagged.filter(~F.col("_guard_pass")).drop("_guard_pass")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _evict_group(pdf, st, ct, max_eviction_group)
+
+    verdicts = (
+        suspicious.select("url", "n_bytes", "raw_hash", "text", key)
+        .groupBy(key)
+        .applyInPandas(run, schema=_EVICT_SCHEMA)
+    )
+    suspicious_out = suspicious.join(verdicts, on="url", how="inner")
+    return clean.unionByName(suspicious_out)

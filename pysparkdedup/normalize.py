@@ -1,0 +1,101 @@
+"""Normalization kernel — column expressions defining *what counts as a duplicate*.
+
+Each function re-expresses one normalizer of the reference's hashing kernel
+(SURVEY.md §2.3) as a JVM-side Catalyst expression (whole-stage-codegen'd; no
+Python in the hot path):
+
+- collapse_ws            <- ref mail.py:525-526  (" ".join(value.split()))
+- strip_all_ws           <- ref mail.py:431-439  (re.sub(r"\\s", "", line))
+- normalize_subject      <- ref mail.py:539-546
+- normalize_content_type <- ref mail.py:548-565
+- normalize_date_day     <- ref mail.py:567-576
+- normalize_address      <- ref mail.py:578-594
+- strip_angle_brackets   <- ref mail.py:596-619
+- raw_text_hash          <- ref mail.py:423-429  (hash_raw_body)
+- normalized_text_hash   <- ref mail.py:431-439  (hash_normalized_body)
+- content_hash_expr      <- ref deduplicate.py:574,992 (composite dedup key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .config import CONTENT_HASH_NORMALIZED, CONTENT_HASH_RAW, DedupConfig
+
+
+def collapse_ws(col: Column) -> Column:
+    """Collapse any run of whitespace to a single space and trim.
+
+    Exactly ``" ".join(value.split())`` (ref mail.py:525-526): Python's
+    ``str.split()`` drops leading/trailing whitespace too, hence the trim.
+    """
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def strip_all_ws(col: Column) -> Column:
+    """Remove every whitespace character.
+
+    The reference's *normalized body*: each line passed through
+    ``re.sub(r"\\s", "", line)`` then concatenated (ref mail.py:431-439) —
+    removing ALL ``\\s`` linewise then joining with "" is equivalent to
+    removing all ``\\s`` from the whole text.
+    """
+    return F.regexp_replace(col, r"\s", "")
+
+
+def normalize_subject(col: Column) -> Column:
+    """Strip leading Re:/Fwd:/[list-tag] prefixes, repeated, case-insensitive.
+
+    Ref mail.py:539-546. Kept for title-like columns of web pages.
+    """
+    return F.regexp_replace(col, r"(?i)^(?:(?:re|fwd?): +|\[\w[\w_-]*\w?\] +)+", "")
+
+
+def normalize_content_type(col: Column) -> Column:
+    """Keep the MIME type, drop ``;``-separated parameters (ref mail.py:548-565)."""
+    return F.lower(F.trim(F.regexp_replace(col, r";.*", "")))
+
+
+def normalize_date_day(col: Column) -> Column:
+    """Collapse a timestamp to its UTC ``YYYY-MM-DD`` day (ref mail.py:567-576)."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def normalize_address(col: Column) -> Column:
+    """Drop double quotes, collapse whitespace, strip angle brackets around the
+    address part (ref mail.py:578-594)."""
+    no_quotes = F.regexp_replace(col, '"', "")
+    collapsed = collapse_ws(no_quotes)
+    return F.regexp_replace(collapsed, r"[<>]", "")
+
+
+def strip_angle_brackets(col: Column) -> Column:
+    """``<token>`` -> ``token`` iff the value is a single bracketed token with no
+    commas; otherwise unchanged (ref mail.py:596-619)."""
+    extracted = F.regexp_extract(col, r"^<([^<>,]+)>$", 1)
+    return F.when(extracted != "", extracted).otherwise(col)
+
+
+def raw_text_hash(text: Column, bits: int = 256) -> Column:
+    """SHA-2 of the raw text — ref ``hash_raw_body`` (mail.py:423-429)."""
+    return F.sha2(text, bits)
+
+
+def normalized_text_hash(text: Column, bits: int = 256) -> Column:
+    """SHA-2 of the whitespace-stripped text — ref ``hash_normalized_body``
+    (mail.py:431-439). The exact-dup groupBy key."""
+    return F.sha2(strip_all_ws(text), bits)
+
+
+def content_hash_expr(cfg: DedupConfig, text: Column = None) -> Column:
+    """The config-selected dedup key expression (ref deduplicate.py:574,992,
+    BodyHasher dispatch deduplicate.py:164-178). Pure column algebra — the
+    reference's enum-of-functions becomes an expression registry."""
+    if text is None:
+        text = F.col("text")
+    if cfg.content_hash_mode == CONTENT_HASH_RAW:
+        return raw_text_hash(text, cfg.hash_bits)
+    if cfg.content_hash_mode == CONTENT_HASH_NORMALIZED:
+        return normalized_text_hash(text, cfg.hash_bits)
+    raise ValueError(f"unknown content_hash_mode: {cfg.content_hash_mode}")

@@ -1,0 +1,148 @@
+"""Pipeline orchestration — the reference's 5-step lifecycle as DataFrame stages.
+
+load -> hash+group -> guards -> select -> act/report (ref cli.py:594-604), with
+the near-dup clusterers pluggable as alternative group-key producers: any
+module that assigns a ``cluster_key`` per url (exact hash, MinHash-LSH
+components, SimHash components) feeds the same guards + cascade + stats tail.
+
+Produces one final annotated DataFrame with per-row ``status`` in
+{rejected, unique, selected, discarded, skipped}, per-set ``set_outcome``, and
+a ``set_rep`` flag marking one deterministic representative row per set (for
+set-level counting in one pass, no second shuffle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .exact import annotate, with_cluster_key
+from .guards import apply_guards
+from .stats import Stat, check_stats, compute_stats
+from .strategy import apply_cascade
+
+FINAL_STATUS = ("rejected", "unique", "selected", "discarded", "skipped")
+
+
+def label_outcomes(df: DataFrame) -> DataFrame:
+    """Fold guard + cascade annotations into final row status / set outcome.
+
+    Expects: rejected, evicted, guard_skip_kind, selected, applied_strategy,
+    set_skip_kind, cluster_key, url. Rows of guard-skipped sets never entered
+    the cascade; their cascade columns are null.
+    """
+    status = (
+        F.when(F.col("rejected"), "rejected")
+        .when(F.col("guard_skip_kind").isNotNull(), "skipped")
+        .when(F.col("evicted"), "skipped")
+        .when(F.col("set_skip_kind").isNotNull(), "skipped")
+        .when(F.col("applied_strategy") == "single", "unique")
+        .when(F.col("selected"), "selected")
+        .otherwise("discarded")
+    )
+    set_outcome = (
+        F.when(F.col("guard_skip_kind").isNotNull(),
+               F.concat(F.lit("skipped_"), F.col("guard_skip_kind")))
+        .when(F.col("set_skip_kind").isNotNull(),
+              F.concat(F.lit("skipped_"), F.col("set_skip_kind")))
+        .when(F.col("applied_strategy") == "single", "single")
+        .when(F.col("applied_strategy").isNotNull(), "deduplicated")
+    )
+    # Retained rows sort first so a rejected row can never take the rep slot
+    # of a set it shares a key with.
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.col("rejected").asc(), F.col("url")
+    )
+    set_rep = (~F.col("rejected")) & (F.row_number().over(w) == 1)
+    return (
+        df.withColumn("status", status)
+        .withColumn("set_outcome", set_outcome)
+        .withColumn("set_rep", F.coalesce(set_rep, F.lit(False)))
+    )
+
+
+def run_exact(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Exact-dup pipeline: normalized content hash as the cluster key.
+
+    One shuffle (hash partition by cluster_key) feeds guards, cascade, and
+    set_rep windows — Catalyst reuses the exchange across the window specs.
+    """
+    ann = with_cluster_key(annotate(pages, cfg))
+    return _group_and_select(ann, cfg)
+
+
+def run_clustered(pages: DataFrame, cfg: DedupConfig,
+                  clusters: DataFrame) -> DataFrame:
+    """Near-dup pipeline tail: ``clusters`` maps url -> cluster_key (from
+    MinHash-LSH / SimHash / union-find). Rows absent from ``clusters`` are
+    singletons keyed by their own content hash."""
+    ann = annotate(pages, cfg)
+    joined = ann.join(clusters.select("url", "cluster_key"), on="url", how="left")
+    keyed = joined.withColumn(
+        "cluster_key",
+        F.coalesce(F.col("cluster_key"), F.col("content_hash"), F.col("url")),
+    )
+    return _group_and_select(keyed, cfg)
+
+
+def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
+    rejected = ann.filter(F.col("rejected"))
+    retained = ann.filter(~F.col("rejected"))
+
+    guarded = apply_guards(retained, cfg)
+
+    # The cascade runs on the post-eviction pool of guard-passing sets
+    # (ref deduplicate.py:449-456: eviction reduces the pool, then strategies
+    # apply to the remainder).
+    in_cascade = guarded.filter(
+        F.col("guard_skip_kind").isNull() & ~F.col("evicted")
+    )
+    out_of_cascade = guarded.filter(
+        F.col("guard_skip_kind").isNotNull() | F.col("evicted")
+    )
+
+    cascaded = apply_cascade(in_cascade, cfg)
+    null_cascade = (
+        out_of_cascade.withColumn("selected", F.lit(None).cast("boolean"))
+        .withColumn("applied_strategy", F.lit(None).cast("string"))
+        .withColumn("set_skip_kind", F.lit(None).cast("string"))
+    )
+    merged = cascaded.unionByName(null_cascade)
+
+    rejected_full = (
+        rejected.withColumn("evicted", F.lit(False))
+        .withColumn("guard_skip_kind", F.lit(None).cast("string"))
+        .withColumn("selected", F.lit(None).cast("boolean"))
+        .withColumn("applied_strategy", F.lit(None).cast("string"))
+        .withColumn("set_skip_kind", F.lit(None).cast("string"))
+    )
+    return label_outcomes(merged.unionByName(rejected_full))
+
+
+@dataclass
+class RunResult:
+    final: DataFrame
+    stats: dict[Stat, int]
+
+
+def run_and_check(pages: DataFrame, cfg: DedupConfig,
+                  action: str | None = None) -> RunResult:
+    """Full run + the reference's invariant self-check (exit-115 analog:
+    raises StatsInconsistency)."""
+    final = run_exact(pages, cfg)
+    stats = compute_stats(final)
+    check_stats(stats, action=action)
+    return RunResult(final=final, stats=stats)
+
+
+def selection(final: DataFrame) -> DataFrame:
+    """Rows the action targets for *-selected verbs: unique + selected
+    (ref action.py:312-339, check_stats accounting deduplicate.py:1369-1380)."""
+    return final.filter(F.col("status").isin("unique", "selected"))
+
+
+def discarded(final: DataFrame) -> DataFrame:
+    return final.filter(F.col("status") == "discarded")

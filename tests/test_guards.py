@@ -1,0 +1,107 @@
+"""Threshold guards + eviction tests (ref tests/test_strategy.py:541-644)."""
+
+from pyspark.sql import functions as F
+
+from pysparkdedup.config import DedupConfig
+from pysparkdedup.pipeline import run_exact, selection
+from tests.conftest import ts
+
+
+def by_status(final):
+    return {r["url"]: r["status"] for r in final.select("url", "status").collect()}
+
+
+def test_outlier_evicted_core_deduplicated(pages_factory):
+    """3 copies + 1 whitespace-bloated outlier: outlier evicted, core
+    deduplicated (ref tests/test_strategy.py:541-564, deduplicate.py:304-359)."""
+    rows = [
+        ("u/a", ts(0), "line one\nsame body", "en"),
+        ("u/b", ts(1), "line one\nsame body", "en"),
+        ("u/c", ts(2), "line one\nsame body", "en"),
+        ("u/outlier", ts(3), "line one" + " " * 2000 + "\nsame body", "en"),
+    ]
+    cfg = DedupConfig(strategies=("select-newest",))
+    final = run_exact(pages_factory(rows), cfg)
+    st = by_status(final)
+    assert st["u/outlier"] == "skipped"
+    # newest of the remaining core is u/c
+    assert st["u/c"] == "selected"
+    assert st["u/a"] == st["u/b"] == "discarded"
+
+
+def test_dissimilar_pair_skips_whole_set(pages_factory):
+    """2 rows breaching the size threshold: fewer than 2 would remain =>
+    whole set skipped as skipped_size (ref tests/test_strategy.py:567-578)."""
+    rows = [
+        ("u/a", ts(0), "word\nbody", "en"),
+        ("u/b", ts(1), "word" + " " * 3000 + "\nbody", "en"),
+    ]
+    cfg = DedupConfig(strategies=("select-newest",))
+    final = run_exact(pages_factory(rows), cfg)
+    st = by_status(final)
+    assert st == {"u/a": "skipped", "u/b": "skipped"}
+    kinds = {r["set_outcome"] for r in final.filter(F.col("set_rep")).collect()}
+    assert kinds == {"skipped_size"}
+
+
+def test_thresholds_disabled_skips_guards(pages_factory):
+    """-1/-1 disables both checks: the bloated member is just the biggest
+    (ref tests/test_strategy.py:606-644)."""
+    rows = [
+        ("u/a", ts(0), "word\nbody", "en"),
+        ("u/b", ts(1), "word" + " " * 3000 + "\nbody", "en"),
+    ]
+    cfg = DedupConfig(
+        strategies=("select-smallest",), size_threshold=-1, content_threshold=-1
+    )
+    final = run_exact(pages_factory(rows), cfg)
+    assert {r["url"] for r in selection(final).collect()} == {"u/a"}
+
+
+def test_content_threshold_eviction(pages_factory):
+    """Content-differing member (same normalized hash impossible here — use
+    raw mode): big unified diff => offense => eviction."""
+    base = "\n".join(f"line {i} common words here" for i in range(40))
+    variant = base + "\n" + "extra " * 300  # ~1800 chars of new content
+    rows = [
+        ("u/a", ts(0), base, "en"),
+        ("u/b", ts(1), base, "en"),
+        ("u/c", ts(2), base, "en"),
+    ]
+    # Give the outlier the same *normalized* hash is impossible with real new
+    # content, so emulate the reference's header-hash grouping by running the
+    # clustered tail with an explicit cluster map.
+    from pysparkdedup.pipeline import run_clustered
+
+    rows.append(("u/outlier", ts(3), variant, "en"))
+    pages = pages_factory(rows)
+    spark = pages.sparkSession
+    clusters = spark.createDataFrame(
+        [(r[0], "C1") for r in rows], "url string, cluster_key string"
+    )
+    cfg = DedupConfig(strategies=("select-newest",), size_threshold=-1)
+    final = run_clustered(pages, cfg, clusters)
+    st = by_status(final)
+    assert st["u/outlier"] == "skipped"
+    assert st["u/c"] == "selected"
+
+
+def test_singleton_never_enters_guards(pages_factory):
+    rows = [("u/solo", ts(0), "alone text", "en")]
+    cfg = DedupConfig(strategies=("select-newest",))
+    final = run_exact(pages_factory(rows), cfg)
+    assert by_status(final) == {"u/solo": "unique"}
+
+
+def test_malformed_rejected_not_crashed(pages_factory):
+    rows = [
+        ("u/empty", ts(0), "", "en"),
+        ("u/null", ts(0), None, "en"),
+        ("u/ok", ts(0), "fine text", "en"),
+    ]
+    cfg = DedupConfig(strategies=("select-newest",))
+    final = run_exact(pages_factory(rows), cfg)
+    st = by_status(final)
+    assert st["u/empty"] == "rejected"
+    assert st["u/null"] == "rejected"
+    assert st["u/ok"] == "unique"
