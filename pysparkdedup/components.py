@@ -1,0 +1,67 @@
+"""Union-find connected components as an iterated DataFrame fixpoint.
+
+No Spark built-in exists (GraphFrames is external); this is alternating
+min-label propagation: every node repeatedly adopts the smallest label among
+itself and its neighbors until no label changes. Near-dup graphs built from
+star-shaped bucket pairs (pairs.py) have tiny diameter, so convergence is
+2-4 iterations in practice; ``max_iter`` bounds pathological chains.
+
+Scale notes:
+- each iteration is one shuffle (edges joined to labels on src, min-agg on
+  dst) — label frames are localCheckpoint()ed to truncate lineage so the plan
+  does not grow with iterations;
+- convergence is detected with a count of changed labels (an O(n) agg, no
+  collect of data rows);
+- labels are min-url strings: deterministic at any parallelism, no
+  64-bit-id collision risk at 10^12 nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """edges (a, b) -> (url, cluster_key) with cluster_key = min url of the
+    component. Only nodes that appear in an edge are returned."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("url"))
+        .distinct()
+        .withColumn("label", F.col("url"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("url", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("dst", "url")
+        )
+        updated = (
+            labels.join(neighbor_min, on="url", how="left")
+            .withColumn("new_label", F.least("label", F.col("nmin")))
+            .drop("nmin")
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = (
+            updated.select("url", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if changed == 0:
+            break
+
+    return labels.select(
+        "url", F.concat(F.lit("cc:"), F.col("label")).alias("cluster_key")
+    )

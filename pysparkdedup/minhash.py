@@ -1,0 +1,191 @@
+"""MinHash signatures + LSH banding for near-duplicate candidate generation.
+
+The near-dup generalization of the reference's hash-key grouping
+(ref deduplicate.py:958-1058): where the reference groups on one exact SHA-224
+key, this module groups on ``lsh_bands`` many banded MinHash keys, so
+documents at Jaccard similarity J collide in >=1 band with probability
+1 - (1 - J^r)^b (b=32, r=4 defaults target J >= ~0.8).
+
+Physical design for 10^12 docs:
+- signatures are computed in ``mapInPandas`` with fully vectorized numpy — a
+  perm-chunked (num_perm x total_shingles) universal-hash matrix reduced per
+  doc with ``np.minimum.reduceat`` — mirroring how the reference batches
+  worker tasks in chunks of 200 (ref deduplicate.py:688-694) but Arrow-sized;
+- band hashing is JVM-side (``xxhash64`` over signature slices) so banding
+  adds no Python;
+- candidate pairing goes through pairs.bucket_pairs (salted-star hot buckets);
+- verification (estimated Jaccard = fraction of equal signature positions) is
+  pure column algebra over a zip_with.
+
+Shingle hashing: tokens -> 64-bit blake2b (memoized per batch), word
+k-shingles combined with a vectorized rolling polynomial, masked into the
+31-bit Mersenne field so the universal hash (a*s + b) mod (2^31 - 1) stays
+exact in uint64 arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .components import connected_components
+from .config import DedupConfig
+from .pairs import bucket_pairs
+
+MERSENNE_31 = np.uint64((1 << 31) - 1)
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime, shingle combiner
+
+SIG_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("minhash", T.ArrayType(T.IntegerType()), True),
+    T.StructField("n_shingles", T.IntegerType(), False),
+])
+
+
+def _token_hashes(tokens: list[str], memo: dict) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Distinct 31-bit hashes of word k-shingles — vectorized rolling poly."""
+    n = len(tok_hashes) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k is small (5); each step is vectorized over n
+        acc = acc * _POLY_BASE + tok_hashes[j : j + n]
+    return np.unique(acc % MERSENNE_31)
+
+
+def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(cfg.seed)
+    p = int(MERSENNE_31)
+    a = rng.integers(1, p, size=cfg.num_perm, dtype=np.uint64)
+    b = rng.integers(0, p, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, cfg: DedupConfig,
+                       text_col: str = "text") -> DataFrame:
+    """(url, minhash array<int>, n_shingles). Docs with < shingle_size tokens
+    get a null signature (cannot be near-dup candidates; the exact path still
+    covers them)."""
+    k, num_perm, seed = cfg.shingle_size, cfg.num_perm, cfg.seed
+    a_params, b_params = _perm_params(cfg)
+    p = MERSENNE_31
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        token_re = re.compile(r"\w+", re.UNICODE)
+        memo: dict = {}
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            texts = pdf[text_col].tolist()
+            shingle_arrays: list[np.ndarray] = []
+            for text in texts:
+                tokens = token_re.findall((text or "").lower())
+                shingle_arrays.append(
+                    _shingle_hashes(_token_hashes(tokens, memo), k)
+                )
+            counts = np.array([len(s) for s in shingle_arrays])
+            nonempty = counts > 0
+            sigs: list = [None] * len(urls)
+            if nonempty.any():
+                all_sh = (
+                    np.concatenate([s for s in shingle_arrays if len(s)])
+                    if counts.sum() else np.empty(0, dtype=np.uint64)
+                )
+                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(counts[nonempty][:-1], out=offsets[1:])
+                sig_mat = np.empty((int(nonempty.sum()), num_perm), dtype=np.int64)
+                chunk = 16  # bound the (chunk x total_shingles) matrix
+                for c0 in range(0, num_perm, chunk):
+                    ac = a_params[c0 : c0 + chunk][:, None]
+                    bc = b_params[c0 : c0 + chunk][:, None]
+                    m = (ac * all_sh[None, :] + bc) % p
+                    mins = np.minimum.reduceat(m, offsets, axis=1)
+                    sig_mat[:, c0 : c0 + chunk] = mins.T.astype(np.int64)
+                rows = iter(sig_mat)
+                for i in range(len(urls)):
+                    if nonempty[i]:
+                        sigs[i] = next(rows).tolist()
+            yield pd.DataFrame({
+                "url": urls,
+                "minhash": sigs,
+                "n_shingles": counts.astype("int32"),
+            })
+
+    return df.select("url", text_col).mapInPandas(compute, schema=SIG_SCHEMA)
+
+
+def lsh_bands(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, band_id, band_hash) — JVM-side banding, one row per band."""
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    banded = sig_df.filter(F.col("minhash").isNotNull()).select(
+        "url",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {b - 1}), "
+                f"i -> xxhash64(slice(minhash, i * {r} + 1, {r}), i))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    return banded
+
+
+def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct (a, b) url pairs sharing >= 1 band bucket."""
+    pairs = bucket_pairs(
+        bands_df, ["band_id", "band_hash"], id_col="url", cap=cfg.max_bucket_size
+    )
+    return pairs.dropDuplicates(["a", "b"])
+
+
+def estimate_jaccard(pairs: DataFrame, sig_df: DataFrame,
+                     cfg: DedupConfig) -> DataFrame:
+    """(a, b, jaccard) — fraction of equal MinHash positions, column algebra."""
+    sa = sig_df.select(F.col("url").alias("a"), F.col("minhash").alias("_sig_a"))
+    sb = sig_df.select(F.col("url").alias("b"), F.col("minhash").alias("_sig_b"))
+    joined = pairs.join(sa, "a").join(sb, "b")
+    matches = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return joined.withColumn(
+        "jaccard", matches / F.lit(cfg.num_perm)
+    ).select("a", "b", "jaccard")
+
+
+def minhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verified near-dup edges (a, b, jaccard >= threshold)."""
+    sigs = minhash_signatures(pages, cfg)
+    bands = lsh_bands(sigs, cfg)
+    pairs = candidate_pairs(bands, cfg)
+    scored = estimate_jaccard(pairs, sigs, cfg)
+    return scored.filter(F.col("jaccard") >= cfg.jaccard_threshold)
+
+
+def minhash_clusters(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, cluster_key) for every url in a near-dup component of size >= 2.
+
+    Feed into pipeline.run_clustered; uncovered urls fall back to their exact
+    content hash there.
+    """
+    edges = minhash_edges(pages, cfg).select("a", "b")
+    return connected_components(edges)

@@ -1,0 +1,111 @@
+"""SimHash 64-bit signatures + Hamming-ball candidate generation.
+
+Complements MinHash for near-exact duplicates: two documents whose SimHashes
+differ in <= ``hamming_threshold`` bits are candidates. Candidate generation
+uses the pigeonhole block trick: split the 64-bit signature into
+(threshold + 1) blocks — any pair within Hamming distance k agrees exactly on
+at least one block — equi-join on (block_id, block_value) via the shared
+skew-aware bucket pairing, then verify with ``bit_count(xor) <= k`` JVM-side.
+
+Signature computation is a vectorized pandas UDF: per-batch unique-token
+hashing (memoized blake2b), per-doc unpacked-bit vote accumulation in numpy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .components import connected_components
+from .config import DedupConfig
+from .pairs import bucket_pairs
+
+SIMHASH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("simhash", T.LongType(), True),
+])
+
+
+def _simhash_of_tokens(tok_hashes: np.ndarray, counts: np.ndarray) -> int:
+    bits = np.unpackbits(tok_hashes.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")  # (t, 64), bit j of each uint64
+    votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+    out_bits = (votes > 0).astype(np.uint8)
+    packed = np.packbits(out_bits, bitorder="little").view(np.uint64)[0]
+    return int(packed.astype(np.int64))  # two's-complement into Spark LongType
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, simhash long); null for empty docs."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        token_re = re.compile(r"\w+", re.UNICODE)
+        memo: dict = {}
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].tolist():
+                tokens = token_re.findall((text or "").lower())
+                if not tokens:
+                    out.append(None)
+                    continue
+                uniq, counts = np.unique(tokens, return_counts=True)
+                hashes = np.empty(len(uniq), dtype=np.uint64)
+                for i, t in enumerate(uniq):
+                    h = memo.get(t)
+                    if h is None:
+                        h = int.from_bytes(
+                            blake2b(t.encode(), digest_size=8).digest(), "big")
+                        memo[t] = h
+                    hashes[i] = h
+                out.append(_simhash_of_tokens(hashes, counts))
+            yield pd.DataFrame({"url": pdf["url"], "simhash": pd.array(out, dtype="Int64")})
+
+    return df.select("url", text_col).mapInPandas(compute, schema=SIMHASH_SCHEMA)
+
+
+def simhash_blocks(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, block_id, block_val): (k+1) pigeonhole blocks of the signature."""
+    n_blocks = cfg.hamming_threshold + 1
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    return sig_df.filter(F.col("simhash").isNotNull()).select(
+        "url",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), "
+                f"i -> shiftrightunsigned(simhash, i * {width}) & {mask}L)"
+            )
+        ).alias("block_id", "block_val"),
+    )
+
+
+def simhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verified (a, b, hamming) edges with hamming <= threshold."""
+    sigs = simhash_signatures(pages)
+    blocks = simhash_blocks(sigs, cfg)
+    pairs = bucket_pairs(
+        blocks, ["block_id", "block_val"], id_col="url", cap=cfg.max_bucket_size
+    ).dropDuplicates(["a", "b"])
+    sa = sigs.select(F.col("url").alias("a"), F.col("simhash").alias("_ha"))
+    sb = sigs.select(F.col("url").alias("b"), F.col("simhash").alias("_hb"))
+    scored = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+    )
+    return scored.filter(F.col("hamming") <= cfg.hamming_threshold).select(
+        "a", "b", "hamming"
+    )
+
+
+def simhash_clusters(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, cluster_key) for SimHash components — feed pipeline.run_clustered."""
+    return connected_components(simhash_edges(pages, cfg).select("a", "b"))

@@ -1,0 +1,158 @@
+"""Near-dup stack tests: pairs, MinHash-LSH, SimHash, union-find, recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkdedup.components import connected_components
+from pysparkdedup.config import DedupConfig
+from pysparkdedup.corpus import pages_and_truth
+from pysparkdedup.minhash import (
+    candidate_pairs, estimate_jaccard, lsh_bands, minhash_clusters,
+    minhash_signatures,
+)
+from pysparkdedup.pairs import bucket_pairs
+from pysparkdedup.simhash import simhash_clusters, simhash_signatures
+from tests.conftest import ts
+
+
+CFG = DedupConfig()
+
+
+def test_bucket_pairs_cold(spark):
+    df = spark.createDataFrame(
+        [("k1", "u1"), ("k1", "u2"), ("k1", "u3"), ("k2", "u4")],
+        "bkey string, url string",
+    )
+    pairs = {(r["a"], r["b"]) for r in bucket_pairs(df, ["bkey"]).collect()}
+    assert pairs == {("u1", "u2"), ("u1", "u3"), ("u2", "u3")}
+
+
+def test_bucket_pairs_hot_star(spark):
+    """A bucket above cap degrades to a connectivity-preserving star:
+    O(n) pairs, every member reachable from the bucket leader."""
+    rows = [("hot", f"u{i:03d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "bkey string, url string")
+    pairs = bucket_pairs(df, ["bkey"], cap=10, nsalt=4).collect()
+    assert len(pairs) < 50 * 49 / 2  # far fewer than full pairwise
+    # connectivity: union-find over the star pairs puts all 50 in one component
+    edges = spark.createDataFrame(
+        [(r["a"], r["b"]) for r in pairs], "a string, b string")
+    comp = connected_components(edges)
+    ncomp = comp.select("cluster_key").distinct().count()
+    assert ncomp == 1
+    assert comp.count() == 50
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string")
+    got = {
+        (r["url"], r["cluster_key"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "cc:a"), ("b", "cc:a"), ("c", "cc:a"),
+        ("d", "cc:d"), ("e", "cc:d"),
+    }
+
+
+def test_minhash_identical_docs_identical_sigs(pages_factory):
+    text = " ".join(f"w{i}" for i in range(60))
+    df = pages_factory([
+        ("u/a", ts(0), text, "en"),
+        ("u/b", ts(1), text, "en"),
+        ("u/c", ts(2), "totally different " + " ".join(f"z{i}" for i in range(60)), "en"),
+    ])
+    sigs = {r["url"]: r["minhash"] for r in minhash_signatures(df, CFG).collect()}
+    assert sigs["u/a"] == sigs["u/b"]
+    assert sigs["u/a"] != sigs["u/c"]
+    assert len(sigs["u/a"]) == CFG.num_perm
+
+
+def test_minhash_short_doc_null_sig(pages_factory):
+    df = pages_factory([("u/short", ts(0), "one two", "en")])
+    row = minhash_signatures(df, CFG).collect()[0]
+    assert row["minhash"] is None and row["n_shingles"] == 0
+
+
+def test_lsh_finds_near_pair_and_jaccard_orders(pages_factory):
+    base = [f"w{i}" for i in range(200)]
+    near = list(base); near[3] = "xx"; near[100] = "yy"  # ~1% edits
+    far = list(base)
+    for i in range(0, 200, 3):
+        far[i] = f"q{i}"  # ~33% edits
+    df = pages_factory([
+        ("u/base", ts(0), " ".join(base), "en"),
+        ("u/near", ts(1), " ".join(near), "en"),
+        ("u/far", ts(2), " ".join(far), "en"),
+    ])
+    sigs = minhash_signatures(df, CFG)
+    pairs = candidate_pairs(lsh_bands(sigs, CFG), CFG)
+    scored = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in estimate_jaccard(pairs, sigs, CFG).collect()
+    }
+    assert ("u/base", "u/near") in scored
+    assert scored[("u/base", "u/near")] > 0.8
+    if ("u/base", "u/far") in scored:
+        assert scored[("u/base", "u/far")] < scored[("u/base", "u/near")]
+
+
+def test_simhash_hamming_neighbors(pages_factory):
+    base = " ".join(f"word{i}" for i in range(300))
+    tweaked = base.replace("word7 ", "word7x ")  # tiny perturbation
+    different = " ".join(f"other{i}" for i in range(300))
+    df = pages_factory([
+        ("u/a", ts(0), base, "en"),
+        ("u/b", ts(1), tweaked, "en"),
+        ("u/c", ts(2), different, "en"),
+    ])
+    cfg = DedupConfig()
+    clusters = simhash_clusters(df, cfg)
+    got = {r["url"]: r["cluster_key"] for r in clusters.collect()}
+    assert got.get("u/a") == got.get("u/b") and got.get("u/a") is not None
+    assert "u/c" not in got
+
+
+def test_simhash_identical_signature(pages_factory):
+    text = " ".join(f"tok{i}" for i in range(50))
+    df = pages_factory([("u/a", ts(0), text, "en"), ("u/b", ts(1), text, "en")])
+    rows = {r["url"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert rows["u/a"] == rows["u/b"] and rows["u/a"] is not None
+
+
+@pytest.mark.slow
+def test_minhash_recall_on_corpus(spark):
+    """Dup-pair recall >= 0.99 on kinds the detector claims (exact copies +
+    whitespace + near_j>=threshold) — BASELINE.md target, measured on the
+    planted corpus ground truth."""
+    pages, truth = pages_and_truth(spark, 2000)
+    cfg = DedupConfig()
+    clusters = minhash_clusters(pages, cfg)
+
+    claimed = truth.filter(
+        F.col("dup_kind").isin(
+            "exact", "whitespace", "time_ladder", "undated", "same_ts",
+            "boilerplate", "near_j095", "near_j09",
+        )
+    )
+    # ground-truth co-clustered pairs, restricted to claimed kinds
+    t1 = claimed.alias("t1")
+    t2 = claimed.alias("t2")
+    truth_pairs = (
+        t1.join(t2, F.col("t1.true_cluster") == F.col("t2.true_cluster"))
+        .filter(F.col("t1.url") < F.col("t2.url"))
+        .select(F.col("t1.url").alias("a"), F.col("t2.url").alias("b"))
+    )
+    c1 = clusters.alias("c1")
+    c2 = clusters.alias("c2")
+    found_pairs = (
+        c1.join(c2, F.col("c1.cluster_key") == F.col("c2.cluster_key"))
+        .filter(F.col("c1.url") < F.col("c2.url"))
+        .select(F.col("c1.url").alias("a"), F.col("c2.url").alias("b"))
+    )
+    total = truth_pairs.count()
+    hit = truth_pairs.join(found_pairs, ["a", "b"], "inner").count()
+    assert total > 0
+    recall = hit / total
+    assert recall >= 0.99, f"recall {recall:.4f} ({hit}/{total})"
