@@ -1,0 +1,154 @@
+"""Fingerprinted signature checkpoint + anti-join resume.
+
+The table-scale re-expression of the reference's SQLite hash cache
+(ref cache.py): skip re-computing signatures for rows unchanged since the
+last run, invalidate everything when dedup semantics change, prune vanished
+rows, commit atomically.
+
+Mapping (SURVEY.md §3.3):
+- settings fingerprint (ref cache.py:103-109)  -> DedupConfig.signature_fingerprint,
+  stored in the manifest; mismatch wipes the checkpoint;
+- stale key (size, mtime_ns) (ref cache.py:64-69) -> sha2(concat(n_chars, warc_ts)) —
+  recompute when a row's cheap metadata changed;
+- the `uncached()` generator (ref deduplicate.py:869-886) -> LEFT ANTI join of
+  the snapshot against the checkpoint on (url, stale_key);
+- prune of vanished mails (ref cache.py:348-393) -> anti-join of checkpoint
+  against current snapshot keys;
+- single-transaction commit (ref cache.py:399-416) -> write to a temp dir +
+  atomic rename (parquet + manifest json; the Iceberg-snapshot analog — no
+  Iceberg jars in this sandbox).
+
+This is also the resume mechanism: a run killed after the signature stage
+restarts and restores every already-signed row without recompute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .minhash import minhash_signatures
+from .normalize import content_hash_expr
+from .simhash import simhash_signatures
+
+MANIFEST = "_manifest.json"
+DATA_DIR = "data"
+
+
+def stale_key_col() -> F.Column:
+    """Cheap change-detection key per row (ref StaleKey cache.py:64-69):
+    derived from text length + warc_ts, NOT the text bytes — detecting a
+    changed row must not require reading/hashing the payload."""
+    return F.sha2(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.length("text"), F.lit(-1)).cast("string"),
+            F.coalesce(F.col("warc_ts").cast("string"), F.lit("null")),
+        ),
+        256,
+    )
+
+
+def compute_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, stale_key, content_hash, minhash, simhash) for every row."""
+    base = pages.select(
+        "url",
+        stale_key_col().alias("stale_key"),
+        content_hash_expr(cfg).alias("content_hash"),
+    )
+    mh = minhash_signatures(pages, cfg).select("url", "minhash")
+    sh = simhash_signatures(pages).select("url", "simhash")
+    return base.join(mh, "url", "left").join(sh, "url", "left")
+
+
+class SignatureCheckpoint:
+    """Parquet + manifest checkpoint with atomic replace."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def load(self, spark: SparkSession, cfg: DedupConfig) -> DataFrame | None:
+        """Checkpoint rows, or None when absent/fingerprint-mismatched
+        (settings change wipes, ref cache.py:232-246)."""
+        manifest = self.read_manifest()
+        if manifest is None:
+            return None
+        if manifest.get("fingerprint") != cfg.signature_fingerprint():
+            return None
+        return spark.read.parquet(os.path.join(self.path, manifest["data"]))
+
+    def commit(self, signatures: DataFrame, cfg: DedupConfig) -> None:
+        """Atomic replace: write parquet to a fresh dir, then swap the
+        manifest pointer (the one-transaction property, ref cache.py:399-416)."""
+        os.makedirs(self.path, exist_ok=True)
+        new_dir = f"{DATA_DIR}-{uuid.uuid4().hex[:12]}"
+        signatures.write.mode("overwrite").parquet(
+            os.path.join(self.path, new_dir))
+        manifest = {
+            "fingerprint": cfg.signature_fingerprint(),
+            "data": new_dir,
+            "config": cfg.to_dict(),
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2, default=str)
+        old = self.read_manifest()
+        os.replace(tmp, self._manifest_path())
+        if old and old.get("data") and old["data"] != new_dir:
+            shutil.rmtree(os.path.join(self.path, old["data"]),
+                          ignore_errors=True)
+
+
+def signatures_with_checkpoint(
+    pages: DataFrame, cfg: DedupConfig, checkpoint_path: str,
+    commit: bool = True,
+) -> DataFrame:
+    """Signature table for ``pages``, reusing checkpointed rows.
+
+    - hit  (url + stale_key match): restored without recompute
+      (ref restore_cached deduplicate.py:750-767);
+    - miss (new url or changed stale_key): recomputed
+      (the ``uncached`` anti-join, ref deduplicate.py:869-886);
+    - vanished (in checkpoint, not in snapshot): pruned on commit
+      (ref cache.py:348-393).
+    """
+    spark = pages.sparkSession
+    ckpt = SignatureCheckpoint(checkpoint_path)
+    cached = ckpt.load(spark, cfg)
+
+    keyed = pages.withColumn("stale_key", stale_key_col())
+    if cached is None:
+        fresh = compute_signatures(pages, cfg)
+        result = fresh
+    else:
+        hits = keyed.select("url", "stale_key").join(
+            cached, ["url", "stale_key"], "inner")
+        miss_rows = keyed.join(
+            cached.select("url", "stale_key"), ["url", "stale_key"],
+            "left_anti")
+        fresh = compute_signatures(miss_rows.drop("stale_key"), cfg)
+        result = hits.unionByName(fresh)
+
+    if commit:
+        # Materialize once (localCheckpoint) so the commit write and the
+        # returned frame share one computation.
+        result = result.localCheckpoint(eager=True)
+        ckpt.commit(result, cfg)
+    return result

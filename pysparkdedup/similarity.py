@@ -1,0 +1,174 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Two paths over an ``array<float>`` embedding column:
+
+- ``cosine_topk`` — exact baseline: broadcast the (small) query set, compute
+  per-partition partial top-k with one numpy matmul per Arrow batch, then a
+  global top-k window. Correct at any scale where queries fit in memory; the
+  corpus side streams.
+- ``lsh_topk`` — scale path: random-hyperplane (sign) LSH buckets corpus and
+  queries; candidates share >= 1 of ``n_tables`` bucket keys; exact cosine is
+  then computed only for candidates. Recall is tunable with n_tables/n_bits.
+
+Also ``cosine_pairs_exact`` — column-algebra cosine between explicit id pairs
+(used by the embedding near-dup detector and the DuckDB oracle: deterministic
+left-fold sum, double precision end to end).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> DataFrame:
+    """pairs(a, b) + emb(id, embedding) -> (a, b, cosine)."""
+    ea = emb.select(F.col(id_col).alias("a"), F.col(emb_col).alias("_ea"))
+    eb = emb.select(F.col(id_col).alias("b"), F.col(emb_col).alias("_eb"))
+    return (
+        pairs.join(ea, "a").join(eb, "b")
+        .withColumn("cosine", cosine_col(F.col("_ea"), F.col("_eb")))
+        .select("a", "b", "cosine")
+    )
+
+
+_TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("vec_id", T.LongType(), False),
+    T.StructField("cosine", T.DoubleType(), False),
+])
+
+
+def cosine_topk(corpus: DataFrame, queries_pdf: pd.DataFrame, k: int = 10,
+                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Exact top-k: (query_id, vec_id, cosine), k rows per query.
+
+    ``queries_pdf`` is a pandas frame (query_id, embedding list) — broadcast
+    once; each Arrow batch does one (batch x dim) @ (dim x nq) matmul.
+    """
+    spark = corpus.sparkSession
+    q_ids = queries_pdf["query_id"].to_numpy()
+    q_mat = np.vstack(queries_pdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy()
+            c = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims = c @ mat.T  # (batch, nq)
+            kk = min(k, len(vids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids)):
+                rows = top[:, qi]
+                out_q.extend([ids[qi]] * len(rows))
+                out_v.extend(vids[rows].tolist())
+                out_s.extend(sims[rows, qi].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_s})
+
+    partials = corpus.select(id_col, emb_col).mapInPandas(
+        partial, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
+                       dim: int | None = None, seed: int = 42,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> DataFrame:
+    """(id, table_id, bucket): sign-LSH bucket per table — numpy batched."""
+    schema = T.StructType([
+        T.StructField("_id", T.LongType(), False),
+        T.StructField("table_id", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ])
+
+    state: dict = {}
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            if "planes" not in state:
+                rng = np.random.default_rng(seed)
+                state["planes"] = rng.standard_normal(
+                    (n_tables, mat.shape[1], n_bits))
+            planes = state["planes"]
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            weights = (1 << np.arange(n_bits)).astype(np.int64)
+            for t in range(n_tables):
+                signs = (mat @ planes[t]) > 0  # (batch, n_bits)
+                bucket = (signs.astype(np.int64) * weights).sum(axis=1)
+                frames.append(pd.DataFrame(
+                    {"_id": ids, "table_id": t, "bucket": bucket}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(
+        F.col(id_col).alias(id_col), emb_col
+    ).mapInPandas(compute, schema=schema).withColumnRenamed("_id", id_col)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_tables: int = 8, n_bits: int = 12, seed: int = 42,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via shared sign-LSH buckets, exact cosine on
+    candidates only. queries: DataFrame (query_id, embedding)."""
+    cb = hyperplane_buckets(corpus, n_tables, n_bits, seed=seed,
+                            id_col=id_col, emb_col=emb_col)
+    qb = hyperplane_buckets(
+        queries.select(F.col("query_id").alias(id_col), emb_col),
+        n_tables, n_bits, seed=seed, id_col=id_col, emb_col=emb_col,
+    ).withColumnRenamed(id_col, "query_id")
+    cand = (
+        qb.join(cb, ["table_id", "bucket"])
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    qe = queries.select("query_id", F.col(emb_col).alias("_qe"))
+    ce = corpus.select(id_col, F.col(emb_col).alias("_ce"))
+    scored = (
+        cand.join(qe, "query_id").join(ce, id_col)
+        .withColumn("cosine", cosine_col(F.col("_qe"), F.col("_ce")))
+        .select("query_id", id_col, "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,106 @@
+"""Checkpoint/resume tests — the reference's cache invalidation matrix
+(ref tests/test_cache.py:52-414) translated to the signature checkpoint."""
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkdedup.checkpoint import (
+    SignatureCheckpoint, compute_signatures, signatures_with_checkpoint,
+)
+from pysparkdedup.config import DedupConfig
+from tests.conftest import ts
+
+
+@pytest.fixture()
+def pages(pages_factory):
+    return pages_factory([
+        ("u/a", ts(0), " ".join(f"w{i}" for i in range(30)), "en"),
+        ("u/b", ts(1), " ".join(f"v{i}" for i in range(30)), "en"),
+        ("u/c", ts(2), " ".join(f"x{i}" for i in range(30)), "en"),
+    ])
+
+
+def sig_map(df):
+    return {r["url"]: (r["content_hash"], tuple(r["minhash"] or []), r["simhash"])
+            for r in df.collect()}
+
+
+def test_cold_then_warm_identical(pages, tmp_path):
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    first = sig_map(signatures_with_checkpoint(pages, cfg, path))
+    warm = sig_map(signatures_with_checkpoint(pages, cfg, path))
+    assert first == warm
+    assert set(first) == {"u/a", "u/b", "u/c"}
+
+
+def test_warm_restores_without_recompute(pages, tmp_path, monkeypatch):
+    """Untouched rows are restored, not re-signed (ref tests/test_cache.py:301)."""
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    signatures_with_checkpoint(pages, cfg, path)
+
+    calls = []
+    import pysparkdedup.checkpoint as cp
+    real = cp.compute_signatures
+
+    def spy(df, c):
+        calls.append(df.count())
+        return real(df, c)
+
+    monkeypatch.setattr(cp, "compute_signatures", spy)
+    signatures_with_checkpoint(pages, cfg, path)
+    assert calls == [0]  # anti-join produced zero rows to recompute
+
+
+def test_config_change_wipes(pages, tmp_path):
+    """Settings fingerprint mismatch invalidates everything
+    (ref tests/test_cache.py:147)."""
+    path = str(tmp_path / "ckpt")
+    cfg1 = DedupConfig()
+    signatures_with_checkpoint(pages, cfg1, path)
+    cfg2 = dataclasses.replace(cfg1, shingle_size=7)
+    ckpt = SignatureCheckpoint(path)
+    assert ckpt.load(pages.sparkSession, cfg2) is None
+    # and a run under cfg2 re-signs everything + commits the new fingerprint
+    out = signatures_with_checkpoint(pages, cfg2, path)
+    assert out.count() == 3
+    assert ckpt.read_manifest()["fingerprint"] == cfg2.signature_fingerprint()
+
+
+def test_changed_row_resigned_vanished_pruned(pages_factory, tmp_path):
+    """Modified row re-signed (stale key), vanished row pruned on commit
+    (ref tests/test_cache.py:169, :323)."""
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    v1 = pages_factory([
+        ("u/a", ts(0), "alpha " * 30, "en"),
+        ("u/b", ts(1), "beta " * 30, "en"),
+    ])
+    first = sig_map(signatures_with_checkpoint(v1, cfg, path))
+
+    v2 = pages_factory([
+        ("u/a", ts(0), "alpha " * 31, "en"),  # changed text length
+        # u/b vanished
+        ("u/c", ts(2), "gamma " * 30, "en"),  # new
+    ])
+    second = sig_map(signatures_with_checkpoint(v2, cfg, path))
+    assert set(second) == {"u/a", "u/c"}
+    assert second["u/a"] != first["u/a"]
+
+    ckpt = SignatureCheckpoint(path)
+    stored = ckpt.load(v2.sparkSession, cfg)
+    assert {r["url"] for r in stored.select("url").collect()} == {"u/a", "u/c"}
+
+
+def test_resume_equals_fresh(pages, tmp_path):
+    """Kill-after-signature-stage resume: warm signatures == cold signatures
+    (BASELINE.md resume criterion)."""
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    cold = sig_map(compute_signatures(pages, cfg))
+    signatures_with_checkpoint(pages, cfg, path)  # simulate first (killed) run
+    resumed = sig_map(signatures_with_checkpoint(pages, cfg, path))
+    assert resumed == cold

@@ -1,0 +1,62 @@
+"""Substring dedup tests: suffix array kernel, partition sweep, anchor join."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pysparkdedup.config import DedupConfig
+from pysparkdedup.corpus import pages_and_truth
+from pysparkdedup.suffix import (
+    containment_edges, partition_substring_dedup, suffix_array,
+)
+from tests.conftest import ts
+
+
+def test_suffix_array_kernel():
+    s = "banana"
+    sa = suffix_array(s).tolist()
+    expected = sorted(range(len(s)), key=lambda i: s[i:])
+    assert sa == expected
+
+
+def test_suffix_array_empty_and_single():
+    assert suffix_array("").tolist() == []
+    assert suffix_array("x").tolist() == [0]
+
+
+def test_partition_sweep_finds_containment(pages_factory):
+    long_text = " ".join(f"w{i}" for i in range(100))
+    inner = " ".join(f"w{i}" for i in range(30, 60))
+    df = pages_factory([
+        ("u/long", ts(0), long_text, "en"),
+        ("u/short", ts(1), inner, "en"),
+        ("u/other", ts(2), " ".join(f"z{i}" for i in range(50)), "en"),
+    ]).coalesce(1)
+    got = {
+        (r["url"], r["contained_in"])
+        for r in partition_substring_dedup(df).collect()
+    }
+    assert ("u/short", "u/long") in got
+    assert all(u != "u/other" for u, _ in got)
+
+
+def test_containment_edges_distributed(spark):
+    """Anchor join finds planted substring pairs regardless of partitioning."""
+    pages, truth = pages_and_truth(spark, 1000, partitions=8)
+    cfg = DedupConfig()
+    edges = containment_edges(pages, cfg)
+    joined = (
+        edges.join(truth.withColumnRenamed("url", "inner"), "inner")
+        .join(
+            truth.select(F.col("url").alias("outer"),
+                         F.col("true_cluster").alias("outer_cluster")),
+            "outer",
+        )
+    )
+    sub_pairs = truth.filter(F.col("dup_kind") == "substring").groupBy(
+        "true_cluster").count().filter(F.col("count") == 2).count()
+    found = joined.filter(
+        (F.col("dup_kind") == "substring")
+        & (F.col("true_cluster") == F.col("outer_cluster"))
+    ).count()
+    assert sub_pairs > 0
+    assert found >= sub_pairs  # every planted containment found

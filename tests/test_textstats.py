@@ -1,0 +1,67 @@
+"""Text-analysis operator tests."""
+
+from pyspark.sql import functions as F
+
+from pysparkdedup.textstats import (
+    detected_lang, quality_columns, subword_count, token_count,
+    winnowing_fingerprints,
+)
+from tests.conftest import ts
+
+
+def test_token_count(pages_factory):
+    df = pages_factory([("u/a", ts(0), "one two  three\nfour", "en")])
+    got = df.select(token_count().alias("n")).collect()[0]["n"]
+    assert got == 4
+
+
+def test_subword_count_longer_for_long_words(pages_factory):
+    df = pages_factory([
+        ("u/a", ts(0), "short words here", "en"),
+        ("u/b", ts(0), "antidisestablishmentarianism", "en"),
+    ])
+    rows = {r["url"]: r["n"] for r in df.select(
+        "url", subword_count().alias("n")).collect()}
+    assert rows["u/a"] == 5  # ceil(5/4)+ceil(5/4)+ceil(4/4) = 2+2+1
+    assert rows["u/b"] == 7  # ceil(28/4)
+
+
+def test_detected_lang(pages_factory):
+    df = pages_factory([
+        ("u/en", ts(0), "the cat and the dog of the house", "en"),
+        ("u/fr", ts(0), "le chat et la maison des gens une fois", "fr"),
+        ("u/und", ts(0), "zzz qqq xxx", "en"),
+    ])
+    got = {r["url"]: r["l"] for r in df.select(
+        "url", detected_lang().alias("l")).collect()}
+    assert got["u/en"] == "en"
+    assert got["u/fr"] == "fr"
+    assert got["u/und"] == "und"
+
+
+def test_quality_columns(pages_factory):
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    bad = "!!! ??? ;;; ### 12345 67890 !!!"
+    df = pages_factory([
+        ("u/good", ts(0), good, "en"),
+        ("u/bad", ts(0), bad, "en"),
+    ])
+    rows = {r["url"]: r for r in quality_columns(df).collect()}
+    assert rows["u/good"]["quality_score"] > rows["u/bad"]["quality_score"]
+    assert rows["u/good"]["n_tokens"] == 13
+    assert 0.0 <= rows["u/bad"]["punct_ratio"] <= 1.0
+
+
+def test_winnowing_fingerprints_stable_and_shared(pages_factory):
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    df = pages_factory([
+        ("u/a", ts(0), text, "en"),
+        ("u/b", ts(0), text, "en"),
+        ("u/c", ts(0), "completely different content here entirely", "en"),
+    ])
+    rows = {r["url"]: r["fingerprints"]
+            for r in winnowing_fingerprints(df).collect()}
+    assert rows["u/a"] == rows["u/b"]
+    assert set(rows["u/a"]) != set(rows["u/c"])
+    # identical texts share all fingerprints; overlapping-suffix docs share some
+    assert len(rows["u/a"]) > 0
