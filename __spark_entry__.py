@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship exact-dedup pipeline run on sf0.001 documents.
+``queries()`` / ``oracle_sql()`` — one entry per SURVEY.md §2 operator family,
+compared against DuckDB at sf0.01 (row-count + schema + order-insensitive
+value-hash). Conventions for engine parity:
+
+- timestamps are returned as naive 'yyyy-MM-dd HH:mm:ss' strings — tz-proof in
+  both engines (the source column is TIMESTAMP_NTZ);
+- ratio outputs are rounded to 4 decimals, set sizes / counts are exact ints;
+- Jaccard outputs return the integer intersection/set sizes rather than the
+  float, eliminating float-hash risk entirely;
+- every computed column is aliased identically on both sides.
+
+Non-SQL-expressible operators (MinHash/SimHash signatures, union-find cluster
+ids, suffix containment, winnowing, sign-LSH ANN) have queries() entries with
+no oracle — the driver records the weaker rows-only check; their exact
+semantics are pytest-verified instead (tests/).
 """
 
 from __future__ import annotations
@@ -12,27 +23,559 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysparkdedup.config import DedupConfig
+
+TOKEN_SPLIT = r"[^\p{L}\p{N}_]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> the input_hint pages schema (doc_id->url, synthetic ts)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full exact-dedup pipeline (hash -> guards -> cascade -> label)
+    on sf0.001 documents; returns the final annotated frame."""
+    from pysparkdedup.pipeline import run_exact
+
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    final = run_exact(pages, cfg)
+    return final.select(
+        "url", "status", "cluster_key", "applied_strategy", "set_outcome"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content-hash groupBy (ref deduplicate.py:958-1058)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn(
+            "content_hash", F.sha2(F.regexp_replace("text", r"\s", ""), 256))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def _q_dup_group_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-set size extremes + size-threshold predicate
+    (ref deduplicate.py:260-268, 297-299)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn(
+            "content_hash", F.sha2(F.regexp_replace("text", r"\s", ""), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn(
+            "within_size_threshold",
+            (F.col("max_chars") - F.col("min_chars")) <= 512,
+        )
+    )
+
+
+def _q_hash_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stat accounting identities as one aggregate row
+    (ref deduplicate.py:66-134)."""
+    d = _docs(spark, sf_dir)
+    ann = d.withColumn(
+        "rejected", F.col("text").isNull() | (F.length(F.trim("text")) < 1)
+    ).withColumn(
+        "content_hash", F.sha2(F.regexp_replace("text", r"\s", ""), 256))
+    retained = ann.filter(~F.col("rejected"))
+    groups = retained.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (
+        ann.agg(
+            F.count(F.lit(1)).alias("found"),
+            F.sum(F.col("rejected").cast("int")).alias("rejected"),
+            F.sum((~F.col("rejected")).cast("int")).alias("retained"),
+        )
+        .crossJoin(
+            groups.agg(
+                F.count(F.lit(1)).alias("hashes"),
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("unique_docs"),
+                F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("duplicates"),
+            )
+        )
+    )
+
+
+def _q_select_newest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-newest window strategy (ref strategy.py:102-113)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("max_ts", F.max("ts").over(w))
+        .filter(F.col("ts") == F.col("max_ts"))
+        .select("event_id", "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+    )
+
+
+def _q_select_oldest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-oldest window strategy (ref strategy.py:72-83)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("min_ts", F.min("ts").over(w))
+        .filter(F.col("ts") == F.col("min_ts"))
+        .select("event_id", "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+    )
+
+
+def _q_select_one_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic select-one (ref strategy.py:184-187; made deterministic
+    by ordering on the row key, SURVEY.md §2.5)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id")
+    )
+
+
+def _q_select_biggest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-biggest by the value column (ref strategy.py:146-153)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("max_v", F.max("value").over(w))
+        .filter(F.col("value") == F.col("max_v"))
+        .select("event_id", "user_id")
+    )
+
+
+def _q_cascade_newest_then_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cascade semantics (select-newest -> select-one) with the
+    effectiveness rule 0 < selected < n and the undated-group fall-through
+    (ref deduplicate.py:456-509)."""
+    from pysparkdedup.strategy import apply_cascade
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("url"),
+        F.col("user_id").cast("string").alias("cluster_key"),
+        F.col("ts").alias("warc_ts"),
+        F.coalesce(F.length("props"), F.lit(0)).alias("n_bytes"),
+    )
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    out = apply_cascade(e, cfg)
+    return out.select(
+        F.col("url").cast("long").alias("event_id"),
+        F.col("selected"),
+        F.col("applied_strategy"),
+    )
+
+
+def _q_reject_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row rejection with metric, grouped (ref mail.py:490-496)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("found"),
+        F.sum(
+            (F.col("text").isNull() | (F.length(F.trim("text")) < 1)).cast("int")
+        ).alias("rejected"),
+    )
+
+
+def _q_regexp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp path predicate (ref strategy.py:156-181)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("source").rlike("news")).select("doc_id", "source")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over whitespace tokens (textstats.token_count)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_exact"),
+    )
+
+
+def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ratios (textstats.quality_columns core)."""
+    d = _docs(spark, sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n_chars = F.length(text)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(punct / safe_chars, 4).alias("punct_ratio"),
+        F.round(digits / safe_chars, 4).alias("digit_ratio"),
+    )
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-shingle Jaccard self-join, integer outputs (ngram.py)."""
+    from pysparkdedup.ngram import with_shingles
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = (
+        with_shingles(d, k=5)
+        .select(F.col("doc_id").alias("_id"), "shingles")
+        .withColumn("_nsh", F.size("shingles"))
+        .filter(F.col("_nsh") > 0)
+    )
+    posting = sh.select("_id", "_nsh", F.explode("shingles").alias("sh"))
+    left = posting.select(F.col("_id").alias("a"), F.col("_nsh").alias("na"), "sh")
+    right = posting.select(F.col("_id").alias("b"), F.col("_nsh").alias("nb"), "sh")
+    inter = (
+        left.join(right, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.filter(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")) >= 0.5
+    ).select("a", "b", "n_common", "na", "nb")
+
+
+def _q_pointer_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer dedup: every doc points at the min doc of its exact-dup set
+    (hardlink analog, ref deduplicate.py:1140-1170)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn(
+        "content_hash", F.sha2(F.regexp_replace("text", r"\s", ""), 256))
+    w = Window.partitionBy("content_hash")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("kept_doc_id"),
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("kept_doc_id"))
+
+
+def _q_group_extremes_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group extremes on a TPC-H table (per-set min/max operator family,
+    ref deduplicate.py:222-268)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+# ---- rows-only (non-SQL-expressible) ---------------------------------------
+
+def _q_minhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clusters (minhash.py) — rows-only check."""
+    from pysparkdedup.minhash import minhash_clusters
+
+    pages = _docs_as_pages(spark, sf_dir)
+    return minhash_clusters(pages, DedupConfig())
+
+
+def _q_simhash_sigs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (simhash.py) — rows-only check."""
+    from pysparkdedup.simhash import simhash_signatures
+
+    pages = _docs_as_pages(spark, sf_dir)
+    return simhash_signatures(pages)
+
+
+def _q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed substring containment (suffix.py) — rows-only check."""
+    from pysparkdedup.suffix import containment_edges
+
+    pages = _docs_as_pages(spark, sf_dir)
+    return containment_edges(pages, DedupConfig())
+
+
+def _q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textstats.py) — rows-only check."""
+    from pysparkdedup.textstats import winnowing_fingerprints
+
+    pages = _docs_as_pages(spark, sf_dir)
+    return winnowing_fingerprints(pages).select(
+        "url", F.size(F.coalesce("fingerprints", F.array())).alias("n_fp"))
+
+
+def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (textstats.py) — rows-only check."""
+    from pysparkdedup.textstats import detected_lang
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", detected_lang().alias("lang_pred"), "lang")
+
+
+def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate nearest neighbor (similarity.py) — rows-only."""
+    from pysparkdedup.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, queries, k=3, n_tables=16, n_bits=6).select(
+        "query_id", "vec_id", "rank")
+
+
+def _q_embedding_top1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-1 neighbor (excluding self) for the first 20 vectors —
+    brute-force baseline (similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nq = F.sqrt(F.aggregate(
+        F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nc = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    from pyspark.sql import Window
+
+    scored = (
+        q.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cosine", 4).alias("cosine_r"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_groups": _q_exact_dup_groups,
+        "dup_group_spread": _q_dup_group_spread,
+        "hash_group_stats": _q_hash_group_stats,
+        "select_newest_per_user": _q_select_newest_per_user,
+        "select_oldest_per_user": _q_select_oldest_per_user,
+        "select_one_per_user": _q_select_one_per_user,
+        "select_biggest_per_user": _q_select_biggest_per_user,
+        "cascade_newest_then_one": _q_cascade_newest_then_one,
+        "reject_filter_by_lang": _q_reject_filter_by_lang,
+        "regexp_select": _q_regexp_select,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality_stats,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "pointer_dedup_exact": _q_pointer_dedup_exact,
+        "group_extremes_lineitem": _q_group_extremes_lineitem,
+        "embedding_top1_exact": _q_embedding_top1_exact,
+        # rows-only (non-SQL-expressible)
+        "minhash_clusters_docs": _q_minhash_clusters_docs,
+        "simhash_sigs_docs": _q_simhash_sigs_docs,
+        "containment_pairs_docs": _q_containment_pairs_docs,
+        "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "embedding_ann_top1": _q_embedding_ann_top1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_hash = r"sha256(regexp_replace(text, '\s', '', 'g'))"
+    toks = r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), t -> t != '')"
+    return {
+        "exact_dup_groups": f"""
+            SELECT {norm_hash} AS content_hash,
+                   count(*) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "dup_group_spread": f"""
+            SELECT {norm_hash} AS content_hash,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   (max(n_chars) - min(n_chars)) <= 512 AS within_size_threshold
+            FROM documents GROUP BY 1
+        """,
+        "hash_group_stats": f"""
+            WITH ann AS (
+                SELECT *, (text IS NULL OR length(trim(text)) < 1) AS rej,
+                       {norm_hash} AS h
+                FROM documents
+            ), g AS (
+                SELECT h, count(*) AS n FROM ann WHERE NOT rej GROUP BY h
+            )
+            SELECT (SELECT count(*) FROM ann) AS found,
+                   (SELECT coalesce(sum(rej::int), 0) FROM ann) AS rejected,
+                   (SELECT coalesce(sum((NOT rej)::int), 0) FROM ann) AS retained,
+                   (SELECT count(*) FROM g) AS hashes,
+                   (SELECT coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) FROM g) AS unique_docs,
+                   (SELECT coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) FROM g) AS duplicates
+        """,
+        "select_newest_per_user": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS mx FROM events)
+            WHERE ts = mx
+        """,
+        "select_oldest_per_user": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM (SELECT *, min(ts) OVER (PARTITION BY user_id) AS mn FROM events)
+            WHERE ts = mn
+        """,
+        "select_one_per_user": """
+            SELECT event_id, user_id
+            FROM (SELECT event_id, user_id,
+                         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "select_biggest_per_user": """
+            SELECT event_id, user_id
+            FROM (SELECT *, max(value) OVER (PARTITION BY user_id) AS mx FROM events)
+            WHERE value = mx
+        """,
+        "cascade_newest_then_one": """
+            WITH base AS (
+                SELECT event_id, user_id,
+                       count(*) OVER p AS n,
+                       count(ts) OVER p AS nd,
+                       coalesce(ts = max(ts) OVER p, false) AS is_newest,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id::VARCHAR) AS rn
+                FROM events
+                WINDOW p AS (PARTITION BY user_id)
+            ), eff AS (
+                SELECT *,
+                       sum(CASE WHEN is_newest AND nd = n THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id) AS sel_newest
+                FROM base
+            )
+            SELECT event_id,
+                   CASE WHEN n = 1 THEN true
+                        WHEN nd = n AND sel_newest > 0 AND sel_newest < n
+                             THEN is_newest
+                        ELSE rn = 1 END AS selected,
+                   CASE WHEN n = 1 THEN 'single'
+                        WHEN nd = n AND sel_newest > 0 AND sel_newest < n
+                             THEN 'select-newest'
+                        ELSE 'select-one' END AS applied_strategy
+            FROM eff
+        """,
+        "reject_filter_by_lang": """
+            SELECT lang, count(*) AS found,
+                   coalesce(sum((text IS NULL OR length(trim(text)) < 1)::int), 0) AS rejected
+            FROM documents GROUP BY lang
+        """,
+        "regexp_select": """
+            SELECT doc_id, source FROM documents
+            WHERE regexp_matches(source, 'news')
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   length(coalesce(text, '')) AS n_chars_exact
+            FROM documents
+        """,
+        "quality_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   round(length(regexp_replace(coalesce(text,''), '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+                         / greatest(length(coalesce(text,'')), 1)::DOUBLE, 4) AS punct_ratio,
+                   round(length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g'))
+                         / greatest(length(coalesce(text,'')), 1)::DOUBLE, 4) AS digit_ratio
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '[^\p{L}\p{N}_]+'), t -> t != '') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                      FROM toks)
+            ), sized AS (
+                SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+                FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, n_common, sa.nsh AS na, sb.nsh AS nb
+            FROM inter
+            JOIN sized sa ON sa.doc_id = a
+            JOIN sized sb ON sb.doc_id = b
+            WHERE n_common / (sa.nsh + sb.nsh - n_common)::DOUBLE >= 0.5
+        """,
+        "pointer_dedup_exact": f"""
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY {norm_hash}) AS kept_doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY {norm_hash}) AS is_canonical
+            FROM documents
+        """,
+        "group_extremes_lineitem": """
+            SELECT l_orderkey,
+                   count(*) AS n_lines,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   sum(l_quantity)::BIGINT AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "embedding_top1_exact": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                WHERE vec_id < 20
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                       AS cosine
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id AS neighbor_id, round(cosine, 4) AS cosine_r
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        """,
+    }

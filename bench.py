@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries exercise the engine's hot paths end to end:
+  exact_pipeline   — hash -> guards -> cascade -> label -> count by status
+  minhash_cluster  — signatures -> LSH bands -> pairs -> verify -> components
+  simhash_cluster  — simhash -> blocks -> pairs -> verify -> components
+  ngram_jaccard    — exact shingle-Jaccard self-join
+  cascade_events   — window strategy cascade on the events table
+  token_quality    — text-analysis column pass
+  embedding_topk   — brute-force cosine top-k
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.config import DedupConfig
+    from pysparkdedup.minhash import minhash_clusters
+    from pysparkdedup.ngram import jaccard_edges
+    from pysparkdedup.pipeline import run_exact
+    from pysparkdedup.simhash import simhash_clusters
+    from pysparkdedup.similarity import cosine_topk
+    from pysparkdedup.strategy import apply_cascade
+    from pysparkdedup.textstats import detected_lang, quality_columns
+    from __spark_entry__ import _docs_as_pages
+
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    pages = _docs_as_pages(spark, sf_dir)
+    pages.cache().count()  # isolate scan cost from operator cost
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    bench("exact_pipeline",
+          lambda: run_exact(pages, cfg).groupBy("status").count().collect())
+    bench("minhash_cluster", lambda: minhash_clusters(pages, cfg).count())
+    bench("simhash_cluster", lambda: simhash_clusters(pages, cfg).count())
+    bench("ngram_jaccard",
+          lambda: jaccard_edges(pages, k=5, threshold=0.5).count())
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("string").alias("url"),
+        F.col("user_id").cast("string").alias("cluster_key"),
+        F.col("ts").alias("warc_ts"),
+        F.coalesce(F.length("props"), F.lit(0)).alias("n_bytes"),
+    )
+    bench("cascade_events",
+          lambda: apply_cascade(events, cfg).agg(
+              F.sum(F.col("selected").cast("int"))).collect())
+
+    bench("token_quality",
+          lambda: quality_columns(pages).withColumn(
+              "lang_pred", detected_lang()).agg(
+              F.sum("n_tokens"), F.avg("quality_score")).collect())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_pdf = emb.limit(50).toPandas().rename(
+        columns={"vec_id": "query_id"})[["query_id", "embedding"]]
+    bench("embedding_topk",
+          lambda: cosine_topk(emb, queries_pdf, k=10).count())
+
+    pages.unpersist()
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pysparkdedup.session import get_spark
+
+    spark = get_spark(app_name="pysparkdedup-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        timings = run_benchmarks(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "pysparkdedup headline suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
