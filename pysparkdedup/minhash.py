@@ -70,6 +70,62 @@ def _shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
     return np.unique(acc % MERSENNE_31)
 
 
+_TOKEN_RE = None
+
+
+def _tokenize_batch(texts) -> tuple[list[list[str]], np.ndarray]:
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+    token_lists = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+    doc_lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    return token_lists, doc_lens
+
+
+def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-vectorized shingling: ONE np.unique over the batch's tokens, ONE
+    blake2b pass over unique tokens, ONE rolling-poly sweep with doc-boundary
+    masking. Returns (shingle_hashes grouped by doc, reduceat offsets for
+    non-empty docs, per-doc shingle counts). Counts are window counts (not
+    distinct) — min-over-multiset == min-over-set, so MinHash is unaffected.
+    """
+    token_lists, doc_lens = _tokenize_batch(texts)
+    ndocs = len(token_lists)
+    total = int(doc_lens.sum())
+    if total == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(ndocs, np.int64))
+    all_tokens = np.empty(total, dtype=object)
+    pos = 0
+    for lst in token_lists:
+        all_tokens[pos : pos + len(lst)] = lst
+        pos += len(lst)
+    uniq, inv = np.unique(all_tokens, return_inverse=True)
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        uh[i] = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+    tok_hashes = uh[inv]
+    doc_ids = np.repeat(np.arange(ndocs, dtype=np.int64), doc_lens)
+
+    n = total - k + 1
+    if n <= 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(ndocs, np.int64))
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _POLY_BASE + tok_hashes[j : j + n]
+    valid = doc_ids[:n] == doc_ids[k - 1 : k - 1 + n]
+    sh = (acc % MERSENNE_31)[valid]
+    vdoc = doc_ids[:n][valid]
+    counts = np.bincount(vdoc, minlength=ndocs).astype(np.int64)
+    nonzero = counts[counts > 0]
+    offsets = np.zeros(len(nonzero), dtype=np.int64)
+    np.cumsum(nonzero[:-1], out=offsets[1:])
+    return sh, offsets, counts
+
+
 def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(cfg.seed)
     p = int(MERSENNE_31)
@@ -88,29 +144,12 @@ def minhash_signatures(df: DataFrame, cfg: DedupConfig,
     p = MERSENNE_31
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
-
-        token_re = re.compile(r"\w+", re.UNICODE)
-        memo: dict = {}
         for pdf in batches:
             urls = pdf["url"].tolist()
-            texts = pdf[text_col].tolist()
-            shingle_arrays: list[np.ndarray] = []
-            for text in texts:
-                tokens = token_re.findall((text or "").lower())
-                shingle_arrays.append(
-                    _shingle_hashes(_token_hashes(tokens, memo), k)
-                )
-            counts = np.array([len(s) for s in shingle_arrays])
+            all_sh, offsets, counts = _batch_shingles(pdf[text_col], k)
             nonempty = counts > 0
             sigs: list = [None] * len(urls)
             if nonempty.any():
-                all_sh = (
-                    np.concatenate([s for s in shingle_arrays if len(s)])
-                    if counts.sum() else np.empty(0, dtype=np.uint64)
-                )
-                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-                np.cumsum(counts[nonempty][:-1], out=offsets[1:])
                 sig_mat = np.empty((int(nonempty.sum()), num_perm), dtype=np.int64)
                 chunk = 16  # bound the (chunk x total_shingles) matrix
                 for c0 in range(0, num_perm, chunk):
@@ -173,8 +212,16 @@ def estimate_jaccard(pairs: DataFrame, sig_df: DataFrame,
 
 
 def minhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Verified near-dup edges (a, b, jaccard >= threshold)."""
-    sigs = minhash_signatures(pages, cfg)
+    """Verified near-dup edges (a, b, jaccard >= threshold).
+
+    Signatures are persisted (memory+disk) — they feed banding AND both sides
+    of the verification join; without the persist the Python signature kernel
+    would run three times. At real scale this materialization is the
+    signature checkpoint (checkpoint.py)."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(pages, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK)
     bands = lsh_bands(sigs, cfg)
     pairs = candidate_pairs(bands, cfg)
     scored = estimate_jaccard(pairs, sigs, cfg)

@@ -37,7 +37,14 @@ def with_shingles(df: DataFrame, k: int, text_col: str = "text",
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^\p{L}\p{N}_]+"),
         lambda t: t != "",
     )
-    return df.withColumn(out_col, F.array_distinct(_shingles_expr(tokens, k)))
+    # Materialize tokens first: referencing the tokenize expression inside the
+    # transform lambda would re-evaluate split+filter once per shingle slice
+    # (no CSE inside lambda bodies) — O(len^2) per doc.
+    return (
+        df.withColumn("_toks", tokens)
+        .withColumn(out_col, F.array_distinct(_shingles_expr(F.col("_toks"), k)))
+        .drop("_toks")
+    )
 
 
 def jaccard_edges(df: DataFrame, k: int = 5, threshold: float = 0.8,

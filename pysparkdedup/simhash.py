@@ -42,31 +42,52 @@ def _simhash_of_tokens(tok_hashes: np.ndarray, counts: np.ndarray) -> int:
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(url, simhash long); null for empty docs."""
+    """(url, simhash long); null for empty docs.
+
+    Batch-vectorized: each token occurrence votes once (which IS the
+    count-weighted vote), so the per-doc vote vector is one
+    ``np.add.reduceat`` over the batch's +-1 bit matrix — no per-doc loops.
+    """
+    from pysparkdedup.minhash import _tokenize_batch
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
-
-        token_re = re.compile(r"\w+", re.UNICODE)
-        memo: dict = {}
         for pdf in batches:
-            out = []
-            for text in pdf[text_col].tolist():
-                tokens = token_re.findall((text or "").lower())
-                if not tokens:
-                    out.append(None)
-                    continue
-                uniq, counts = np.unique(tokens, return_counts=True)
-                hashes = np.empty(len(uniq), dtype=np.uint64)
+            token_lists, doc_lens = _tokenize_batch(pdf[text_col].tolist())
+            ndocs = len(token_lists)
+            total = int(doc_lens.sum())
+            out = np.zeros(ndocs, dtype=np.int64)
+            empty = doc_lens == 0
+            if total:
+                all_tokens = np.empty(total, dtype=object)
+                pos = 0
+                for lst in token_lists:
+                    all_tokens[pos : pos + len(lst)] = lst
+                    pos += len(lst)
+                uniq, inv = np.unique(all_tokens, return_inverse=True)
+                uh = np.empty(len(uniq), dtype=np.uint64)
                 for i, t in enumerate(uniq):
-                    h = memo.get(t)
-                    if h is None:
-                        h = int.from_bytes(
-                            blake2b(t.encode(), digest_size=8).digest(), "big")
-                        memo[t] = h
-                    hashes[i] = h
-                out.append(_simhash_of_tokens(hashes, counts))
-            yield pd.DataFrame({"url": pdf["url"], "simhash": pd.array(out, dtype="Int64")})
+                    uh[i] = int.from_bytes(
+                        blake2b(t.encode(), digest_size=8).digest(), "big")
+                occ_hashes = uh[inv]
+                bits = np.unpackbits(
+                    occ_hashes.view(np.uint8).reshape(-1, 8), axis=1,
+                    bitorder="little")
+                # Segment sums via cumsum (np.add.reduceat on axis 0 is
+                # catastrophically slow for wide rows). votes = 2*bitsum - n.
+                c = np.cumsum(bits, axis=0, dtype=np.int64)  # (total, 64)
+                lens_nz = doc_lens[~empty]
+                ends = np.cumsum(lens_nz) - 1
+                bitsum = c[ends]
+                bitsum[1:] -= c[ends[:-1]]
+                votes = 2 * bitsum - lens_nz[:, None]  # (nd, 64)
+                out_bits = (votes > 0).astype(np.uint8)
+                packed = np.packbits(out_bits, axis=1,
+                                     bitorder="little").view(np.uint64)[:, 0]
+                out[~empty] = packed.astype(np.int64)
+            vals = pd.array(
+                [None if empty[i] else int(out[i]) for i in range(ndocs)],
+                dtype="Int64")
+            yield pd.DataFrame({"url": pdf["url"], "simhash": vals})
 
     return df.select("url", text_col).mapInPandas(compute, schema=SIMHASH_SCHEMA)
 
@@ -88,8 +109,11 @@ def simhash_blocks(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def simhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Verified (a, b, hamming) edges with hamming <= threshold."""
-    sigs = simhash_signatures(pages)
+    """Verified (a, b, hamming) edges with hamming <= threshold. Signatures
+    persisted: they feed blocking AND both verify-join sides."""
+    from pyspark import StorageLevel
+
+    sigs = simhash_signatures(pages).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = simhash_blocks(sigs, cfg)
     pairs = bucket_pairs(
         blocks, ["block_id", "block_val"], id_col="url", cap=cfg.max_bucket_size
