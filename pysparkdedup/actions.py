@@ -39,8 +39,13 @@ def _subset(final: DataFrame, action: str) -> DataFrame:
 
 
 def perform(final: DataFrame, action: str, out_path: str | None = None,
-            dry_run: bool = False) -> dict:
-    """Route an action verb (ref action.py:312-339). Returns counts."""
+            dry_run: bool = False, pages: DataFrame | None = None) -> dict:
+    """Route an action verb (ref action.py:312-339). Returns counts.
+
+    The pipeline dehydrates the payload column (html) from its working set;
+    pass the source ``pages`` frame to re-hydrate written rows by url
+    (ref hydrate, mail.py:264-294). Without it, the payload column is omitted.
+    """
     if action not in ACTIONS:
         raise ValueError(f"unknown action: {action!r}")
     target = _subset(final, action)
@@ -50,10 +55,16 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
     if dry_run:
         return {"action": action, "count": count, "written": False}
 
+    def hydrate(df: DataFrame) -> DataFrame:
+        if "html" not in df.columns and pages is not None:
+            df = df.join(pages.select("url", "html"), "url", "left")
+        cols = [c for c in PAGE_COLS if c in df.columns]
+        return df.select(*cols)
+
     if verb in ("copy", "move"):
         if not out_path:
             raise ValueError(f"{action} requires out_path")
-        target.select(*PAGE_COLS).write.mode("overwrite").parquet(out_path)
+        hydrate(target).write.mode("overwrite").parquet(out_path)
         written = True
         if verb == "move":
             # Table-side delete is the caller's rewrite of the source (we
@@ -63,7 +74,7 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
         if not out_path:
             raise ValueError(f"{action} requires out_path (the rewritten table)")
         keep = final.join(target.select("url"), "url", "left_anti")
-        keep.select(*PAGE_COLS).write.mode("overwrite").parquet(out_path)
+        hydrate(keep).write.mode("overwrite").parquet(out_path)
         written = True
     elif verb == "hardlink":
         if not out_path:

@@ -26,14 +26,20 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                          max_iter: int = 25) -> DataFrame:
     """edges (a, b) -> (url, cluster_key) with cluster_key = min url of the
     component. Only nodes that appear in an edge are returned."""
+    # Materialize the edge input once: the symmetric union references it
+    # twice, and Spark recomputes shared subtrees (no DAG-level CSE) — for
+    # LSH edges that would mean running candidate generation + verification
+    # twice.
+    edges = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=True)
     # No distinct(): min-aggregation is idempotent over duplicate edges, and
     # the dedup shuffle would cost more than it saves.
     sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
 
     # Seed labels with the first propagation fused in: label(v) =
     # min(v, min(neighbors)) — saves one full iteration on star graphs.
@@ -54,16 +60,17 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "url")
         )
+        # Checkpoint BEFORE the convergence count: the count and the next
+        # iteration both read `updated`, and without materialization the
+        # whole join would run twice per iteration.
         updated = (
             labels.join(neighbor_min, on="url", how="left")
             .withColumn("new_label", F.least("label", F.col("nmin")))
-            .drop("nmin")
-        )
-        changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = (
-            updated.select("url", F.col("new_label").alias("label"))
+            .select("url", "label", "new_label")
             .localCheckpoint(eager=True)
         )
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("url", F.col("new_label").alias("label"))
         if changed == 0:
             break
 

@@ -42,10 +42,11 @@ class DedupConfig:
 
     # --- near-dup: shingling + MinHash-LSH --------------------------------
     shingle_size: int = 5  # words per shingle
-    num_perm: int = 128  # MinHash permutations
-    lsh_bands: int = 32  # b bands of r = num_perm // b rows
+    num_perm: int = 64  # MinHash permutations (b=16 x r=4: P[detect J=0.9]
+    # = 1-(1-0.9^4)^16 ~ 1-4e-8; halves signature bandwidth vs 128)
+    lsh_bands: int = 16  # b bands of r = num_perm // b rows
     jaccard_threshold: float = 0.8  # candidate-verify cutoff
-    max_bucket_size: int = 2000  # salted-skew guard: buckets above this are
+    max_bucket_size: int = 256  # salted-skew guard: buckets above this are
     # degraded (pairs against bucket leader only), with a logged metric —
     # the scale analog of the reference's set-level short-circuit
     # (deduplicate.py:292-301): mega-clusters cost O(n), never O(n^2).

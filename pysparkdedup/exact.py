@@ -46,11 +46,15 @@ def with_cluster_key(df: DataFrame, key_col: str = "content_hash") -> DataFrame:
 
     A string key scales to 10^12 rows without the 64-bit-birthday collision risk
     a hashed long id would carry; callers needing a long id can xxhash64 it for
-    display only. Null-text rows fall back to their own url so rejects never
-    pile into one null-key partition (skew guard).
+    display only. Rejected rows are keyed by their own url: they never join a
+    real group's windows (and empty-text rows would otherwise all share
+    sha2('') — a skew bomb).
     """
     return df.withColumn(
-        "cluster_key", F.coalesce(F.col(key_col), F.col("url"))
+        "cluster_key",
+        F.when(F.col("rejected"), F.col("url")).otherwise(
+            F.coalesce(F.col(key_col), F.col("url"))
+        ),
     )
 
 

@@ -145,19 +145,21 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
     passes = (n == 1) | (spread_ok & (F.lit(ct < 0) | one_body))
     flagged = df.withColumn("_guard_pass", passes)
 
-    clean = flagged.filter(F.col("_guard_pass")).drop("_guard_pass").withColumn(
-        "evicted", F.lit(False)
-    ).withColumn("guard_skip_kind", F.lit(None).cast("string"))
-
-    suspicious = flagged.filter(~F.col("_guard_pass")).drop("_guard_pass")
-
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _evict_group(pdf, st, ct, max_eviction_group)
 
+    # Verdicts exist only for rows of suspicious groups; everyone else gets
+    # the defaults through the left join — no branch-and-union, so the
+    # upstream plan is computed once.
     verdicts = (
-        suspicious.select("url", "n_bytes", "raw_hash", "text", key)
+        flagged.filter(~F.col("_guard_pass"))
+        .select("url", "n_bytes", "raw_hash", "text", key)
         .groupBy(key)
         .applyInPandas(run, schema=_EVICT_SCHEMA)
+        .select("url", "evicted", "guard_skip_kind")
     )
-    suspicious_out = suspicious.join(verdicts, on="url", how="inner")
-    return clean.unionByName(suspicious_out)
+    return (
+        flagged.join(verdicts, on="url", how="left")
+        .withColumn("evicted", F.coalesce(F.col("evicted"), F.lit(False)))
+        .drop("_guard_pass")
+    )

@@ -48,71 +48,23 @@ SIG_SCHEMA = T.StructType([
 ])
 
 
-def _token_hashes(tokens: list[str], memo: dict) -> np.ndarray:
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = memo.get(t)
-        if h is None:
-            h = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
-            memo[t] = h
-        out[i] = h
-    return out
-
-
-def _shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
-    """Distinct 31-bit hashes of word k-shingles — vectorized rolling poly."""
-    n = len(tok_hashes) - k + 1
-    if n <= 0:
-        return np.empty(0, dtype=np.uint64)
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(k):  # k is small (5); each step is vectorized over n
-        acc = acc * _POLY_BASE + tok_hashes[j : j + n]
-    return np.unique(acc % MERSENNE_31)
-
-
-_TOKEN_RE = None
-
-
-def _tokenize_batch(texts) -> tuple[list[list[str]], np.ndarray]:
-    global _TOKEN_RE
-    if _TOKEN_RE is None:
-        import re
-
-        _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
-    token_lists = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
-    doc_lens = np.array([len(t) for t in token_lists], dtype=np.int64)
-    return token_lists, doc_lens
-
-
 def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch-vectorized shingling: ONE np.unique over the batch's tokens, ONE
-    blake2b pass over unique tokens, ONE rolling-poly sweep with doc-boundary
-    masking. Returns (shingle_hashes grouped by doc, reduceat offsets for
-    non-empty docs, per-doc shingle counts). Counts are window counts (not
-    distinct) — min-over-multiset == min-over-set, so MinHash is unaffected.
+    """Batch-vectorized shingling over the numpy byte tokenizer (tokenhash.py):
+    no Python objects in the hot path. Returns (shingle_hashes grouped by doc,
+    reduceat offsets for non-empty docs, per-doc shingle counts). Counts are
+    window counts (not distinct) — min-over-multiset == min-over-set, so
+    MinHash is unaffected.
     """
-    token_lists, doc_lens = _tokenize_batch(texts)
-    ndocs = len(token_lists)
-    total = int(doc_lens.sum())
-    if total == 0:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64),
-                np.zeros(ndocs, np.int64))
-    all_tokens = np.empty(total, dtype=object)
-    pos = 0
-    for lst in token_lists:
-        all_tokens[pos : pos + len(lst)] = lst
-        pos += len(lst)
-    uniq, inv = np.unique(all_tokens, return_inverse=True)
-    uh = np.empty(len(uniq), dtype=np.uint64)
-    for i, t in enumerate(uniq):
-        uh[i] = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
-    tok_hashes = uh[inv]
-    doc_ids = np.repeat(np.arange(ndocs, dtype=np.int64), doc_lens)
+    from .tokenhash import batch_token_hashes
 
+    doc_lens, tok_hashes = batch_token_hashes(list(texts))
+    ndocs = len(doc_lens)
+    total = len(tok_hashes)
     n = total - k + 1
-    if n <= 0:
+    if total == 0 or n <= 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 np.zeros(ndocs, np.int64))
+    doc_ids = np.repeat(np.arange(ndocs, dtype=np.int64), doc_lens)
     acc = np.zeros(n, dtype=np.uint64)
     for j in range(k):
         acc = acc * _POLY_BASE + tok_hashes[j : j + n]
@@ -144,20 +96,37 @@ def minhash_signatures(df: DataFrame, cfg: DedupConfig,
     p = MERSENNE_31
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = a_params[:, None]
+        bc = b_params[:, None]
         for pdf in batches:
             urls = pdf["url"].tolist()
             all_sh, offsets, counts = _batch_shingles(pdf[text_col], k)
             nonempty = counts > 0
             sigs: list = [None] * len(urls)
-            if nonempty.any():
-                sig_mat = np.empty((int(nonempty.sum()), num_perm), dtype=np.int64)
-                chunk = 16  # bound the (chunk x total_shingles) matrix
-                for c0 in range(0, num_perm, chunk):
-                    ac = a_params[c0 : c0 + chunk][:, None]
-                    bc = b_params[c0 : c0 + chunk][:, None]
-                    m = (ac * all_sh[None, :] + bc) % p
-                    mins = np.minimum.reduceat(m, offsets, axis=1)
-                    sig_mat[:, c0 : c0 + chunk] = mins.T.astype(np.int64)
+            nnz = int(nonempty.sum())
+            if nnz:
+                sig_mat = np.empty((nnz, num_perm), dtype=np.int64)
+                # Process doc-blocks whose (num_perm x block_shingles) hash
+                # matrix stays cache-resident: the naive full-batch matrix is
+                # DRAM-bandwidth-bound (GBs of traffic per batch); blocked, the
+                # intermediate never leaves L2/L3 and 8->32 cores scales.
+                block_target = 2048  # num_perm x block x 8B ~ 1MB: L2-resident
+                nz_lens = counts[nonempty]
+                ends = np.cumsum(nz_lens)
+                d0 = 0
+                while d0 < nnz:
+                    d1 = d0
+                    start = offsets[d0]
+                    while d1 < nnz and ends[d1] - start <= block_target:
+                        d1 += 1
+                    if d1 == d0:  # single doc larger than the block
+                        d1 = d0 + 1
+                    sl = all_sh[start : ends[d1 - 1]]
+                    m = (ac * sl[None, :] + bc) % p  # (num_perm, block)
+                    local_off = (offsets[d0:d1] - start).astype(np.int64)
+                    mins = np.minimum.reduceat(m, local_off, axis=1)
+                    sig_mat[d0:d1, :] = mins.T.astype(np.int64)
+                    d0 = d1
                 rows = iter(sig_mat)
                 for i in range(len(urls)):
                     if nonempty[i]:

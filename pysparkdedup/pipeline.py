@@ -83,43 +83,40 @@ def run_clustered(pages: DataFrame, cfg: DedupConfig,
     joined = ann.join(clusters.select("url", "cluster_key"), on="url", how="left")
     keyed = joined.withColumn(
         "cluster_key",
-        F.coalesce(F.col("cluster_key"), F.col("content_hash"), F.col("url")),
+        F.when(F.col("rejected"), F.col("url")).otherwise(
+            F.coalesce(F.col("cluster_key"), F.col("content_hash"), F.col("url"))
+        ),
     )
     return _group_and_select(keyed, cfg)
 
 
 def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
-    rejected = ann.filter(F.col("rejected"))
-    retained = ann.filter(~F.col("rejected"))
+    # Dehydration (ref mail.py:228-262): the raw payload column never enters
+    # the dedup working set — at web scale `html` dwarfs everything else and
+    # would ride every shuffle. Actions re-hydrate by url (ref mail.py:264-294).
+    from pyspark import StorageLevel
 
-    guarded = apply_guards(retained, cfg)
+    ann = ann.drop("html")
+    # Materialize once: guards' verdict branch and the main spine both read
+    # this frame, and Spark recomputes shared subtrees.
+    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # One linear plan, no branch-and-union (each branch would recompute the
+    # whole upstream): rejected rows carry their own url as cluster_key so
+    # they never pollute a real group's windows, guards attach verdicts via a
+    # left join, and the cascade excludes non-pool rows by column algebra.
+    guarded = apply_guards(ann, cfg)
 
     # The cascade runs on the post-eviction pool of guard-passing sets
     # (ref deduplicate.py:449-456: eviction reduces the pool, then strategies
     # apply to the remainder).
-    in_cascade = guarded.filter(
-        F.col("guard_skip_kind").isNull() & ~F.col("evicted")
+    participates = (
+        ~F.col("rejected")
+        & ~F.col("evicted")
+        & F.col("guard_skip_kind").isNull()
     )
-    out_of_cascade = guarded.filter(
-        F.col("guard_skip_kind").isNotNull() | F.col("evicted")
-    )
-
-    cascaded = apply_cascade(in_cascade, cfg)
-    null_cascade = (
-        out_of_cascade.withColumn("selected", F.lit(None).cast("boolean"))
-        .withColumn("applied_strategy", F.lit(None).cast("string"))
-        .withColumn("set_skip_kind", F.lit(None).cast("string"))
-    )
-    merged = cascaded.unionByName(null_cascade)
-
-    rejected_full = (
-        rejected.withColumn("evicted", F.lit(False))
-        .withColumn("guard_skip_kind", F.lit(None).cast("string"))
-        .withColumn("selected", F.lit(None).cast("boolean"))
-        .withColumn("applied_strategy", F.lit(None).cast("string"))
-        .withColumn("set_skip_kind", F.lit(None).cast("string"))
-    )
-    return label_outcomes(merged.unionByName(rejected_full))
+    cascaded = apply_cascade(guarded, cfg, participates=participates)
+    return label_outcomes(cascaded)
 
 
 @dataclass

@@ -44,7 +44,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Preloaded-fork daemon: workers inherit numpy/pandas/our kernels as
+        # COW pages instead of re-importing per forked worker (see
+        # worker_daemon.py) — cuts per-task Python startup ~1s -> ~0.
+        .config("spark.python.daemon.module", "pysparkdedup.worker_daemon")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

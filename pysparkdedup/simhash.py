@@ -48,27 +48,16 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     count-weighted vote), so the per-doc vote vector is one
     ``np.add.reduceat`` over the batch's +-1 bit matrix — no per-doc loops.
     """
-    from pysparkdedup.minhash import _tokenize_batch
+    from pysparkdedup.tokenhash import batch_token_hashes
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            token_lists, doc_lens = _tokenize_batch(pdf[text_col].tolist())
-            ndocs = len(token_lists)
-            total = int(doc_lens.sum())
+            doc_lens, occ_hashes = batch_token_hashes(pdf[text_col].tolist())
+            ndocs = len(doc_lens)
+            total = len(occ_hashes)
             out = np.zeros(ndocs, dtype=np.int64)
             empty = doc_lens == 0
             if total:
-                all_tokens = np.empty(total, dtype=object)
-                pos = 0
-                for lst in token_lists:
-                    all_tokens[pos : pos + len(lst)] = lst
-                    pos += len(lst)
-                uniq, inv = np.unique(all_tokens, return_inverse=True)
-                uh = np.empty(len(uniq), dtype=np.uint64)
-                for i, t in enumerate(uniq):
-                    uh[i] = int.from_bytes(
-                        blake2b(t.encode(), digest_size=8).digest(), "big")
-                occ_hashes = uh[inv]
                 bits = np.unpackbits(
                     occ_hashes.view(np.uint8).reshape(-1, 8), axis=1,
                     bitorder="little")

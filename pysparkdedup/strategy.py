@@ -81,24 +81,30 @@ class CascadeResult:
 
 
 def _predicate(name: str, w: Window, ts: Column, size: Column, url: Column,
-               rn: Column, regexp: str | None) -> Column:
-    """The window predicate for one canonical strategy (ref strategy.py:56-193)."""
+               rn: Column, regexp: str | None, p: Column) -> Column:
+    """The window predicate for one canonical strategy (ref strategy.py:56-193).
+
+    Every aggregate ranges over *participating* rows only (``when(p, ...)``) —
+    this is how evicted/skipped rows are excluded from min/max extremes
+    without splitting the DataFrame (the reference reduces the pool in place,
+    ref deduplicate.py:449-453)."""
+    pts, psize = F.when(p, ts), F.when(p, size)
     if name == "select-older":
-        return ts < F.max(ts).over(w)
+        return ts < F.max(pts).over(w)
     if name == "select-oldest":
-        return ts == F.min(ts).over(w)
+        return ts == F.min(pts).over(w)
     if name == "select-newer":
-        return ts > F.min(ts).over(w)
+        return ts > F.min(pts).over(w)
     if name == "select-newest":
-        return ts == F.max(ts).over(w)
+        return ts == F.max(pts).over(w)
     if name == "select-smaller":
-        return size < F.max(size).over(w)
+        return size < F.max(psize).over(w)
     if name == "select-smallest":
-        return size == F.min(size).over(w)
+        return size == F.min(psize).over(w)
     if name == "select-bigger":
-        return size > F.min(size).over(w)
+        return size > F.min(psize).over(w)
     if name == "select-biggest":
-        return size == F.max(size).over(w)
+        return size == F.max(psize).over(w)
     if name == "select-matching-path":
         return url.rlike(regexp)
     if name == "select-non-matching-path":
@@ -117,14 +123,20 @@ def apply_cascade(
     ts_col: str = "warc_ts",
     size_col: str = "n_bytes",
     url_col: str = "url",
+    participates: Column | None = None,
 ) -> DataFrame:
     """Annotate each row with the cascade outcome.
 
     Adds columns:
-      - ``selected``         bool (null when the whole set was skipped)
+      - ``selected``         bool (null when the whole set was skipped or the
+                             row does not participate)
       - ``applied_strategy`` string ('single' for singletons, else the winning
                              strategy id, null when skipped)
       - ``set_skip_kind``    'timestamp' | 'strategy' | null
+
+    ``participates`` gates which rows form the pool (evicted / guard-skipped /
+    rejected rows are excluded by column algebra rather than by splitting the
+    frame — keeps the plan linear, upstream computed once).
 
     One logical window pass: every per-strategy aggregate shares the same
     partition spec, so Catalyst collapses them into a single Window exec (plus
@@ -132,12 +144,14 @@ def apply_cascade(
     the one hash-partition by ``key``.
     """
     strategies = resolve_strategies(cfg.strategies, cfg.regexp)
+    p = participates if participates is not None else F.lit(True)
 
     w = Window.partitionBy(key)
-    wo = Window.partitionBy(key).orderBy(url_col)
+    # Participants first, then url: participants get row_number 1..n.
+    wo = Window.partitionBy(key).orderBy(F.when(p, 0).otherwise(1), url_col)
     ts, size, url = F.col(ts_col), F.col(size_col), F.col(url_col)
-    n = F.count(F.lit(1)).over(w)
-    n_dated = F.count(ts).over(w)
+    n = F.sum(p.cast("int")).over(w)
+    n_dated = F.sum((p & ts.isNotNull()).cast("int")).over(w)
     all_dated = n_dated == n
     rn = F.row_number().over(wo)
 
@@ -145,7 +159,7 @@ def apply_cascade(
     effectives: list[Column] = []
     ts_failed: list[Column] = []  # strategy k failed due to MissingTimestamps
     for name in strategies:
-        pred = _predicate(name, w, ts, size, url, rn, cfg.regexp)
+        pred = p & _predicate(name, w, ts, size, url, rn, cfg.regexp, p)
         needs_ts = name in TIME_STRATEGIES
         if needs_ts:
             # Undated member => MissingTimestamps => strategy inapplicable.
@@ -161,8 +175,8 @@ def apply_cascade(
         ts_failed.append(ts_fail)
 
     # First effective strategy wins (ref deduplicate.py:465-490).
-    selected = F.when(n == 1, F.lit(True))
-    applied = F.when(n == 1, F.lit("single"))
+    selected = F.when(~p, F.lit(None).cast("boolean")).when(n == 1, F.lit(True))
+    applied = F.when(~p, F.lit(None).cast("string")).when(n == 1, F.lit("single"))
     for name, pred, eff in zip(strategies, preds, effectives):
         selected = selected.when(eff, pred)
         applied = applied.when(eff, F.lit(name))
@@ -174,13 +188,13 @@ def apply_cascade(
     if strategies:
         last_ts_fail = ts_failed[-1]
         skip_kind = F.when(
-            (n > 1) & ~any_effective,
+            p & (n > 1) & ~any_effective,
             F.when(last_ts_fail, F.lit("timestamp")).otherwise(F.lit("strategy")),
         )
     else:
         # No strategy at all: every multi-row set is skipped
         # (ref deduplicate.py:457-458).
-        skip_kind = F.when(n > 1, F.lit("strategy"))
+        skip_kind = F.when(p & (n > 1), F.lit("strategy"))
 
     return (
         df.withColumn("selected", selected)

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .config import DedupConfig
-from .minhash import _shingle_hashes, _token_hashes
+from .minhash import _batch_shingles
 
 DEFAULT_MAX_DF = 10000
 
@@ -138,21 +138,21 @@ def _shingle_frame(df: DataFrame, cfg: DedupConfig,
     k = cfg.shingle_size
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
-
-        token_re = re.compile(r"\w+", re.UNICODE)
-        memo: dict = {}
         for pdf in batches:
+            sh, offsets, counts = _batch_shingles(pdf[text_col].tolist(), k)
+            nz_ends = np.cumsum(counts[counts > 0])
             anchors, shingles = [], []
-            for text in pdf[text_col].tolist():
-                tokens = token_re.findall((text or "").lower())
-                sh = _shingle_hashes(_token_hashes(tokens, memo), k)
-                if len(sh) == 0:
+            nz_i = 0
+            for i in range(len(counts)):
+                if counts[i] == 0:
                     anchors.append(None)
                     shingles.append(None)
-                else:
-                    anchors.append(int(sh.min()))
-                    shingles.append(sh.astype(np.int64).tolist())
+                    continue
+                seg = sh[offsets[nz_i] : nz_ends[nz_i]]
+                nz_i += 1
+                seg = np.unique(seg)
+                anchors.append(int(seg.min()))
+                shingles.append(seg.astype(np.int64).tolist())
             yield pd.DataFrame({
                 "url": pdf["url"], "anchor": pd.array(anchors, dtype="Int64"),
                 "shingles": shingles,

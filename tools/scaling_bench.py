@@ -1,0 +1,148 @@
+"""Scaling-efficiency evidence: the same job at two parallelism levels.
+
+The north_rule requires throughput scaling efficiency >= 0.8 between N and 4N
+executors. No real cluster exists in this sandbox, so (per BASELINE.md) cores
+stand in for executors: the identical job runs on the identical input at
+local[8] and local[32], and efficiency = (T_8 / T_32) / 4.
+
+Methodology:
+- each level runs in a FRESH subprocess (the py4j JVM persists across
+  SparkSessions within a process, so JIT/codegen warmup would otherwise be
+  charged entirely to whichever level runs first);
+- each subprocess does one un-timed warmup run on a small slice (JIT, codegen
+  caches, Python worker pool), then times the full job — steady-state
+  throughput, the quantity that matters at cluster scale;
+- output equality across levels (count + crc of (url, status)) doubles as the
+  determinism-under-parallelism check (ref tests/test_cli.py:127-160).
+
+The job is the flagship near-dup pipeline: MinHash signatures -> LSH bands ->
+skew-aware candidate pairs -> Jaccard verify -> union-find components ->
+content-hash pipeline tail (guards + strategy cascade + labeling).
+
+Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus]
+Writes bench_scaling.json and prints a markdown row for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS = "/tmp/scaling_corpus"
+WARMUP = "/tmp/scaling_warmup"
+
+
+def build_input(n: int) -> None:
+    from pysparkdedup.corpus import pages_and_truth
+    from pysparkdedup.session import get_spark
+
+    spark = get_spark(app_name="scaling-gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages, _ = pages_and_truth(spark, n, partitions=128)
+    pages.write.mode("overwrite").parquet(CORPUS)
+    # warmup set must span >= all cores' python workers (JIT + import warmup)
+    warm, _ = pages_and_truth(spark, 8000, partitions=128)
+    warm.write.mode("overwrite").parquet(WARMUP)
+    spark.stop()
+
+
+def _job(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.config import DedupConfig
+    from pysparkdedup.minhash import minhash_clusters
+    from pysparkdedup.pipeline import run_clustered
+
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    pages = spark.read.parquet(path)
+    clusters = minhash_clusters(pages, cfg)
+    final = run_clustered(pages, cfg, clusters)
+    row = (
+        final.select("url", "status")
+        .withColumn("line", F.concat_ws("\x1f", "url", "status"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.crc32("line")).alias("crc"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["crc"])
+
+
+def worker(cpus: int) -> None:
+    from pysparkdedup.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={
+            # guarantee >= 2x cores scan splits on the ~1MB/file corpus
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _job(spark, WARMUP)  # un-timed warmup: JIT, codegen, python workers
+    best = None
+    for _ in range(2):  # best-of-2: the sandbox host has co-tenant noise
+        t0 = time.perf_counter()
+        n, crc = _job(spark, CORPUS)
+        elapsed = time.perf_counter() - t0
+        if best is None or elapsed < best:
+            best = elapsed
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "seconds": round(best, 2),
+                      "rows": n, "crc": crc}))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    print(f"generating corpus n={n} -> {CORPUS}")
+    build_input(n)
+
+    results = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, check=False)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        r["docs_per_sec"] = round(n / r["seconds"], 1)
+        results[cpus] = r
+        print(f"local[{cpus}]: {r['seconds']}s  {r['docs_per_sec']:,} docs/s  "
+              f"rows={r['rows']} crc={r['crc']}")
+
+    t_low, t_high = results[low]["seconds"], results[high]["seconds"]
+    ratio = high // low
+    out = {
+        "n_docs": n,
+        "low_cpus": low,
+        "high_cpus": high,
+        "results": {str(k): v for k, v in results.items()},
+        "speedup": round(t_low / t_high, 3),
+        "scaling_efficiency": round((t_low / t_high) / ratio, 3),
+        "identical_output": (
+            results[low]["rows"] == results[high]["rows"]
+            and results[low]["crc"] == results[high]["crc"]
+        ),
+    }
+    with open(os.path.join(REPO, "bench_scaling.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    shutil.rmtree(WARMUP, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
