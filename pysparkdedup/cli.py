@@ -1,0 +1,117 @@
+"""spark-submit entry point — the ``mdedup`` CLI re-expressed for tables.
+
+Usage (local or cluster; on a cluster ship the package with --py-files):
+
+  spark-submit --py-files pysparkdedup.zip -m pysparkdedup.cli \\
+      --input /data/pages_parquet \\
+      --strategy select-newest --strategy select-one \\
+      --action copy-selected --output /data/kept \\
+      --mode minhash --checkpoint /data/sigckpt
+
+Mirrors the reference CLI surface (ref cli.py:571-686): strategies with
+aliases, size/content thresholds, regexp, dry-run, hash-only mode, and adds
+the near-dup modes the reference lacks. ``--jobs`` has no analog: parallelism
+is the cluster's (``--master local[N]`` locally).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .actions import ACTIONS, perform
+from .config import DedupConfig
+from .pipeline import run_clustered, run_exact
+from .session import get_spark
+from .stats import check_stats, compute_stats
+from .strategy import ALL_STRATEGY_IDS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pysparkdedup",
+        description="PySpark-native near-duplicate detection + clustering")
+    p.add_argument("--input", required=True,
+                   help="parquet path with (url, warc_ts, html, text, lang)")
+    p.add_argument("--mode", default="exact",
+                   choices=["exact", "minhash", "simhash", "hash-only"],
+                   help="grouping mode (hash-only prints signatures and exits, "
+                        "ref cli.py:656-674)")
+    p.add_argument("--strategy", action="append", default=[],
+                   choices=sorted(ALL_STRATEGY_IDS),
+                   help="selection strategy; repeat for a cascade")
+    p.add_argument("--action", default=None, choices=list(ACTIONS))
+    p.add_argument("--output", default=None, help="output parquet for actions")
+    p.add_argument("--regexp", default=None)
+    p.add_argument("--size-threshold", type=int, default=512)
+    p.add_argument("--content-threshold", type=int, default=768)
+    p.add_argument("--hash-body", default="normalized",
+                   choices=["raw", "normalized"])
+    p.add_argument("--checkpoint", default=None,
+                   help="signature checkpoint dir (anti-join resume)")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    strategies = tuple(args.strategy) or ("select-newest",)
+    cfg = DedupConfig(
+        strategies=strategies,
+        regexp=args.regexp,
+        size_threshold=args.size_threshold,
+        content_threshold=args.content_threshold,
+        content_hash_mode=args.hash_body,
+        dry_run=args.dry_run,
+    )
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="pysparkdedup", master=args.master)
+    try:
+        pages = spark.read.parquet(args.input)
+
+        if args.mode == "hash-only":
+            from .checkpoint import compute_signatures
+
+            sigs = compute_signatures(pages, cfg)
+            if args.checkpoint:
+                from .checkpoint import SignatureCheckpoint
+
+                SignatureCheckpoint(args.checkpoint).commit(sigs, cfg)
+            sigs.show(20, truncate=60)
+            return 0
+
+        if args.mode == "exact":
+            final = run_exact(pages, cfg)
+        else:
+            if args.mode == "minhash":
+                from .minhash import minhash_clusters
+
+                clusters = minhash_clusters(pages, cfg)
+            else:
+                from .simhash import simhash_clusters
+
+                clusters = simhash_clusters(pages, cfg)
+            final = run_clustered(pages, cfg, clusters)
+
+        stats = compute_stats(final)
+        if args.action:
+            result = perform(final, args.action, args.output,
+                             dry_run=args.dry_run, pages=pages)
+            stats_out = {s.name: v for s, v in stats.items()}
+            stats_out["ACTION_" + result["action"].upper()] = result["count"]
+        else:
+            stats_out = {s.name: v for s, v in stats.items()}
+        check_stats(stats, action=args.action)  # exit-115 analog: raises
+        print(json.dumps(stats_out, indent=2))
+        return 0
+    finally:
+        if not preexisting:  # don't tear down a caller-owned session
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast — the
+.explain()-level properties the engine relies on at scale."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from pysparkdedup.config import DedupConfig
+from pysparkdedup.pipeline import run_exact
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = d.filter(F.col("lang") == "en").select("doc_id")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_column_pruning_to_scan(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = d.select("doc_id", "lang")
+    plan = plan_of(q)
+    # ReadSchema must not include the wide text column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_pipeline_dehydrates_payload(spark, pages_factory):
+    """The html payload must not travel through the dedup pipeline's
+    shuffles (dehydration, ref mail.py:228-262)."""
+    from tests.conftest import ts
+
+    df = pages_factory([("u/a", ts(0), "hello text", "en")])
+    final = run_exact(df, DedupConfig())
+    assert "html" not in final.columns
+    plan = plan_of(final.select("url", "status"))
+    assert "html" not in plan
+
+
+def test_exact_pipeline_single_exchange_for_windows(spark, pages_factory):
+    """Guards + cascade + labeling share the cluster_key partitioning: the
+    plan must contain exactly one hashpartitioning exchange on cluster_key."""
+    from tests.conftest import ts
+
+    df = pages_factory([
+        ("u/a", ts(0), "same text", "en"),
+        ("u/b", ts(1), "same text", "en"),
+    ])
+    final = run_exact(df, DedupConfig(strategies=("select-newest",)))
+    plan = plan_of(final.select("url", "status"))
+    n_exchanges = plan.count("Exchange hashpartitioning(cluster_key")
+    assert n_exchanges == 1, plan
+
+
+def test_hot_bucket_broadcast(spark):
+    """pairs.bucket_pairs must broadcast the (tiny) hot-key side."""
+    from pysparkdedup.pairs import bucket_pairs
+
+    df = spark.createDataFrame(
+        [("k", f"u{i}") for i in range(10)], "bkey string, url string")
+    plan = plan_of(bucket_pairs(df, ["bkey"], cap=3))
+    assert "BroadcastExchange" in plan

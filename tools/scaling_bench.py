@@ -89,7 +89,7 @@ def worker(cpus: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _job(spark, WARMUP)  # un-timed warmup: JIT, codegen, python workers
     best = None
-    for _ in range(2):  # best-of-2: the sandbox host has co-tenant noise
+    for _ in range(3):  # best-of-3: the sandbox host has co-tenant noise
         t0 = time.perf_counter()
         n, crc = _job(spark, CORPUS)
         elapsed = time.perf_counter() - t0
