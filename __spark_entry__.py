@@ -301,6 +301,47 @@ def _q_group_extremes_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-prefix normalizer (ref mail.py:539-546) applied to a synthetic
+    'Re: Fwd: '-prefixed first line of each doc."""
+    from pysparkdedup.normalize import normalize_subject
+
+    d = _docs(spark, sf_dir)
+    first_line = F.split(F.coalesce(F.col("text"), F.lit("")), "\n").getItem(0)
+    subject = F.concat(F.lit("Re: Fwd: [list] "), F.substring(first_line, 1, 60))
+    return d.select("doc_id", normalize_subject(subject).alias("norm_subject"))
+
+
+def _q_collapse_ws_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-collapse normalizer (ref mail.py:525-526) + hash."""
+    from pysparkdedup.normalize import collapse_ws
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.sha2(collapse_ws(F.coalesce(F.col("text"), F.lit(""))), 256)
+        .alias("collapsed_hash"),
+    )
+
+
+def _q_normalize_date_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-to-UTC-day normalizer (ref mail.py:567-576) over events."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+
+
+def _q_strip_angle_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-id bracket stripper (ref mail.py:596-619) over synthetic
+    '<source>' values."""
+    from pysparkdedup.normalize import strip_angle_brackets
+
+    d = _docs(spark, sf_dir)
+    wrapped = F.concat(F.lit("<"), F.col("source"), F.lit(">"))
+    return d.select(
+        "doc_id", strip_angle_brackets(wrapped).alias("stripped"))
+
+
 # ---- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _q_minhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pointer_dedup_exact": _q_pointer_dedup_exact,
         "group_extremes_lineitem": _q_group_extremes_lineitem,
         "embedding_top1_exact": _q_embedding_top1_exact,
+        "normalize_subject": _q_normalize_subject,
+        "collapse_ws_hash": _q_collapse_ws_hash,
+        "normalize_date_day": _q_normalize_date_day,
+        "strip_angle_brackets": _q_strip_angle_brackets,
         # rows-only (non-SQL-expressible)
         "minhash_clusters_docs": _q_minhash_clusters_docs,
         "simhash_sigs_docs": _q_simhash_sigs_docs,
@@ -558,6 +603,33 @@ def oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS max_price,
                    sum(l_quantity)::BIGINT AS sum_qty
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "normalize_subject": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       'Re: Fwd: [list] ' ||
+                       substring(split_part(coalesce(text, ''), chr(10), 1), 1, 60),
+                       '(?i)^(?:(?:re|fwd?): +|\[\w[\w_-]*\w?\] +)+', '')
+                   AS norm_subject
+            FROM documents
+        """,
+        "collapse_ws_hash": r"""
+            SELECT doc_id,
+                   sha256(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+                   AS collapsed_hash
+            FROM documents
+        """,
+        "normalize_date_day": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+        """,
+        "strip_angle_brackets": """
+            SELECT doc_id,
+                   CASE WHEN regexp_extract('<' || source || '>',
+                                            '^<([^<>,]+)>$', 1) != ''
+                        THEN regexp_extract('<' || source || '>',
+                                            '^<([^<>,]+)>$', 1)
+                        ELSE '<' || source || '>' END AS stripped
+            FROM documents
         """,
         "embedding_top1_exact": """
             WITH q AS (

@@ -97,10 +97,17 @@ def main(argv: list[str] | None = None) -> int:
                 clusters = simhash_clusters(pages, cfg)
             final = run_clustered(pages, cfg, clusters)
 
+        from .stats import Stat
+
         stats = compute_stats(final)
         if args.action:
             result = perform(final, args.action, args.output,
                              dry_run=args.dry_run, pages=pages)
+            verb_stat = {"copy": Stat.MAIL_COPIED, "move": Stat.MAIL_MOVED,
+                         "delete": Stat.MAIL_DELETED}.get(
+                             args.action.split("-")[0])
+            if verb_stat is not None:
+                stats[verb_stat] = result["count"]
             stats_out = {s.name: v for s, v in stats.items()}
             stats_out["ACTION_" + result["action"].upper()] = result["count"]
         else:

@@ -1,0 +1,45 @@
+"""Source-layer tests (≈ ref tests/test_mail_box.py round-trips)."""
+
+import pytest
+
+from pysparkdedup.sources import autodetect, read_pages, union_sources
+
+
+@pytest.fixture()
+def parquet_src(spark, tmp_path):
+    p = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("u/a", "hello one"), ("u/b", "hello two")], "url string, text string"
+    ).write.parquet(p)
+    return p
+
+
+def test_autodetect(tmp_path, parquet_src):
+    assert autodetect(parquet_src) == "parquet"
+    d = tmp_path / "filetree"
+    d.mkdir()
+    (d / "page1.html").write_text("<p>hi</p>")
+    assert autodetect(str(d)) == "files"
+
+
+def test_read_parquet_normalizes_schema(spark, parquet_src):
+    df = read_pages(spark, parquet_src)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 2
+
+
+def test_binary_file_tree(spark, tmp_path):
+    d = tmp_path / "tree"
+    d.mkdir()
+    (d / "a.html").write_text("page alpha content")
+    (d / "b.html").write_text("page beta content")
+    df = read_pages(spark, str(d), fmt="files")
+    rows = {r["url"].split("/")[-1]: r["text"] for r in df.collect()}
+    assert rows == {"a.html": "page alpha content",
+                    "b.html": "page beta content"}
+
+
+def test_union_sources_self_dedup(spark, parquet_src):
+    # registering the same source twice is a no-op (ref deduplicate.py:944-945)
+    df = union_sources(spark, [parquet_src, parquet_src])
+    assert df.count() == 2
