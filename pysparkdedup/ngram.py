@@ -51,11 +51,16 @@ def jaccard_edges(df: DataFrame, k: int = 5, threshold: float = 0.8,
                   id_col: str = "url", text_col: str = "text",
                   max_df: int = DEFAULT_MAX_DF) -> DataFrame:
     """(a, b, jaccard) for pairs with exact shingle-Jaccard >= threshold."""
+    from pyspark import StorageLevel
+
     sh = with_shingles(df, k, text_col).select(
         F.col(id_col).alias("_id"), "shingles"
     ).withColumn("_nsh", F.size("shingles")).filter(F.col("_nsh") > 0)
 
+    # The posting list feeds the df-cut aggregation AND both self-join sides;
+    # persist or the shingle computation runs three times.
     posting = sh.select("_id", "_nsh", F.explode("shingles").alias("sh"))
+    posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     hot = freq.filter(F.col("_df") > max_df).select("sh")
     posting = posting.join(F.broadcast(hot), "sh", "left_anti")
