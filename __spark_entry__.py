@@ -216,7 +216,7 @@ def _q_reject_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_regexp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp path predicate (ref strategy.py:156-181)."""
     d = _docs(spark, sf_dir)
-    return d.filter(F.col("source").rlike("news")).select("doc_id", "source")
+    return d.filter(F.col("source").rlike("^src1[0-9]$")).select("doc_id", "source")
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,7 +549,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "regexp_select": """
             SELECT doc_id, source FROM documents
-            WHERE regexp_matches(source, 'news')
+            WHERE regexp_matches(source, '^src1[0-9]$')
         """,
         "token_stats": f"""
             SELECT doc_id,
