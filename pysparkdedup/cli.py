@@ -84,7 +84,12 @@ def main(argv: list[str] | None = None) -> int:
             sigs.show(20, truncate=60)
             return 0
 
-        if args.mode == "exact":
+        if args.checkpoint and args.mode in ("exact", "minhash"):
+            from .pipeline import run_incremental
+
+            final = run_incremental(pages, cfg, args.checkpoint,
+                                    mode=args.mode)
+        elif args.mode == "exact":
             final = run_exact(pages, cfg)
         else:
             if args.mode == "minhash":

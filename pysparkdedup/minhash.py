@@ -180,28 +180,31 @@ def estimate_jaccard(pairs: DataFrame, sig_df: DataFrame,
     ).select("a", "b", "jaccard")
 
 
-def minhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+def minhash_edges(pages: DataFrame, cfg: DedupConfig,
+                  sigs: DataFrame | None = None) -> DataFrame:
     """Verified near-dup edges (a, b, jaccard >= threshold).
 
     Signatures are persisted (memory+disk) — they feed banding AND both sides
     of the verification join; without the persist the Python signature kernel
-    would run three times. At real scale this materialization is the
-    signature checkpoint (checkpoint.py)."""
+    would run three times. Pass ``sigs`` (url, minhash) to reuse checkpointed
+    signatures (checkpoint.py) instead of recomputing — the resume path."""
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(pages, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    if sigs is None:
+        sigs = minhash_signatures(pages, cfg)
+    sigs = sigs.select("url", "minhash").persist(StorageLevel.MEMORY_AND_DISK)
     bands = lsh_bands(sigs, cfg)
     pairs = candidate_pairs(bands, cfg)
     scored = estimate_jaccard(pairs, sigs, cfg)
     return scored.filter(F.col("jaccard") >= cfg.jaccard_threshold)
 
 
-def minhash_clusters(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+def minhash_clusters(pages: DataFrame, cfg: DedupConfig,
+                     sigs: DataFrame | None = None) -> DataFrame:
     """(url, cluster_key) for every url in a near-dup component of size >= 2.
 
     Feed into pipeline.run_clustered; uncovered urls fall back to their exact
     content hash there.
     """
-    edges = minhash_edges(pages, cfg).select("a", "b")
+    edges = minhash_edges(pages, cfg, sigs=sigs).select("a", "b")
     return connected_components(edges)

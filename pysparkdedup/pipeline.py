@@ -119,6 +119,29 @@ def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
     return label_outcomes(cascaded)
 
 
+def run_incremental(pages: DataFrame, cfg: DedupConfig, checkpoint_path: str,
+                    mode: str = "minhash") -> DataFrame:
+    """Checkpoint-backed run: signatures come from the fingerprinted
+    checkpoint (anti-join resume, ref cache.py / SURVEY §3.3) — unchanged rows
+    are restored, changed/new rows re-signed, and the checkpoint is committed
+    atomically for the next run. A run killed after the signature stage
+    resumes here with zero recompute (the reference's warm-cache path,
+    ref docs/performance.md:17)."""
+    from .checkpoint import signatures_with_checkpoint
+
+    sigs = signatures_with_checkpoint(pages, cfg, checkpoint_path)
+    if mode == "exact":
+        clusters = sigs.select(
+            "url", F.col("content_hash").alias("cluster_key"))
+    elif mode == "minhash":
+        from .minhash import minhash_clusters
+
+        clusters = minhash_clusters(pages, cfg, sigs=sigs)
+    else:
+        raise ValueError(f"unknown incremental mode: {mode!r}")
+    return run_clustered(pages, cfg, clusters)
+
+
 @dataclass
 class RunResult:
     final: DataFrame

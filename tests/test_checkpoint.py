@@ -104,3 +104,25 @@ def test_resume_equals_fresh(pages, tmp_path):
     signatures_with_checkpoint(pages, cfg, path)  # simulate first (killed) run
     resumed = sig_map(signatures_with_checkpoint(pages, cfg, path))
     assert resumed == cold
+
+
+def test_incremental_run_equals_fresh(spark, tmp_path):
+    """run_incremental (checkpoint-backed) == fresh run, cold and warm."""
+    from pysparkdedup.corpus import pages_and_truth
+    from pysparkdedup.minhash import minhash_clusters
+    from pysparkdedup.pipeline import run_clustered, run_incremental
+
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    pages, _ = pages_and_truth(spark, 400)
+    path = str(tmp_path / "ckpt")
+
+    def snap(final):
+        return sorted(
+            (r["url"], r["status"])
+            for r in final.select("url", "status").collect())
+
+    fresh = snap(run_clustered(pages, cfg, minhash_clusters(pages, cfg)))
+    cold = snap(run_incremental(pages, cfg, path))
+    warm = snap(run_incremental(pages, cfg, path))  # restored from checkpoint
+    assert cold == fresh
+    assert warm == fresh
