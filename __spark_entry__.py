@@ -428,6 +428,16 @@ def _q_embedding_top1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters (similarity.py) — rows-only check
+    (the table has no planted duplicate vectors, so this checks the full
+    bucket->verify->components path runs; >= 0 clusters expected)."""
+    from pysparkdedup.similarity import embedding_dup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_clusters(emb, threshold=0.95)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -457,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
         "lang_id_docs": _q_lang_id_docs,
         "embedding_ann_top1": _q_embedding_ann_top1,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
     }
 
 

@@ -144,6 +144,39 @@ def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
     ).mapInPandas(compute, schema=schema).withColumnRenamed("_id", id_col)
 
 
+def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
+                        n_tables: int = 12, n_bits: int = 10,
+                        seed: int = 42, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        max_bucket: int = 256) -> DataFrame:
+    """Embedding-cosine near-duplicate edges: (a, b, cosine >= threshold).
+
+    Sign-LSH buckets generate candidates (skew-aware via pairs.bucket_pairs),
+    exact double-precision cosine verifies. Feed components.connected_components
+    for embedding-level dup clusters — the vector analog of MinHash-LSH."""
+    from .pairs import bucket_pairs
+
+    buckets = hyperplane_buckets(emb, n_tables, n_bits, seed=seed,
+                                 id_col=id_col, emb_col=emb_col)
+    cand = bucket_pairs(
+        buckets.select("table_id", "bucket", F.col(id_col).alias("url")),
+        ["table_id", "bucket"], id_col="url", cap=max_bucket,
+    ).dropDuplicates(["a", "b"])
+    scored = cosine_pairs_exact(cand, emb, id_col=id_col, emb_col=emb_col)
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_dup_clusters(emb: DataFrame, threshold: float = 0.95,
+                           **kwargs) -> DataFrame:
+    """(vec_id-as-url, cluster_key) components over embedding_dup_edges."""
+    from .components import connected_components
+
+    edges = embedding_dup_edges(emb, threshold, **kwargs).select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"))
+    return connected_components(edges)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_tables: int = 8, n_bits: int = 12, seed: int = 42,
              id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:

@@ -70,3 +70,22 @@ def test_lsh_topk_recall_vs_exact(spark, emb):
         len(by_q.get(q, set()) & exact[q]) / 5 for q in exact
     ]
     assert sum(overlaps) / len(overlaps) >= 0.4  # ANN: partial recall OK
+
+
+def test_embedding_dup_clusters(spark, emb):
+    """Duplicated vectors (with tiny noise) cluster together; unrelated
+    random vectors do not."""
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.similarity import embedding_dup_clusters
+
+    dups = (
+        emb.filter(F.col("vec_id") < 5)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    both = emb.unionByName(dups)
+    clusters = embedding_dup_clusters(both, threshold=0.999)
+    got = {r["url"]: r["cluster_key"] for r in clusters.collect()}
+    for i in range(5):
+        assert got.get(str(i)) is not None
+        assert got[str(i)] == got[str(i + 100000)]
