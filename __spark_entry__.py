@@ -430,12 +430,14 @@ def _q_embedding_top1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clusters (similarity.py) — rows-only check
-    (the table has no planted duplicate vectors, so this checks the full
-    bucket->verify->components path runs; >= 0 clusters expected)."""
+    (no planted duplicate vectors exist, so the threshold sits at the top of
+    the random-cosine tail — max off-diagonal cosine is ~0.51 at sf0.01 — so
+    the full bucket->verify->components path produces a small non-empty
+    result)."""
     from pysparkdedup.similarity import embedding_dup_clusters
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dup_clusters(emb, threshold=0.95)
+    return embedding_dup_clusters(emb, threshold=0.35, n_tables=16, n_bits=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
