@@ -342,6 +342,156 @@ def _q_strip_angle_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", strip_angle_brackets(wrapped).alias("stripped"))
 
 
+def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
+                          with_ts: bool = False) -> DataFrame:
+    """One strategy as its window predicate over events/user_id, built by the
+    strategy module's own registry (strategy._predicate, ref strategy.py:56-193)."""
+    from pyspark.sql import Window
+
+    from pysparkdedup.strategy import _predicate
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    rn = F.row_number().over(w.orderBy("event_id"))
+    pred = _predicate(name, w, F.col("ts"), F.col("value"),
+                      F.col("event_id").cast("string"), rn, None, F.lit(True))
+    cols = ["event_id", "user_id"]
+    if with_ts:
+        cols.append(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+    # window expressions must materialize as a column before the filter
+    return e.withColumn("_sel", pred).filter(F.col("_sel")).select(*cols)
+
+
+def _q_select_older_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-older / discard-newest (ref strategy.py:56-69)."""
+    return _strategy_over_events("select-older", spark, sf_dir, with_ts=True)
+
+
+def _q_select_newer_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-newer / discard-oldest (ref strategy.py:86-99)."""
+    return _strategy_over_events("select-newer", spark, sf_dir, with_ts=True)
+
+
+def _q_select_smaller_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-smaller / discard-biggest (ref strategy.py:116-122)."""
+    return _strategy_over_events("select-smaller", spark, sf_dir)
+
+
+def _q_select_smallest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-smallest / discard-bigger (ref strategy.py:125-134)."""
+    return _strategy_over_events("select-smallest", spark, sf_dir)
+
+
+def _q_select_bigger_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-bigger / discard-smallest (ref strategy.py:137-143)."""
+    return _strategy_over_events("select-bigger", spark, sf_dir)
+
+
+def _q_select_all_but_one_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-all-but-one / discard-one, deterministic row_number order
+    (ref strategy.py:190-193; SURVEY §2.5 determinism note)."""
+    return _strategy_over_events("select-all-but-one", spark, sf_dir)
+
+
+def _path_strategy_over_docs(name: str, spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pysparkdedup.strategy import _predicate
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang")
+    rn = F.row_number().over(w.orderBy("doc_id"))
+    pred = _predicate(name, w, F.lit(None).cast("timestamp"),
+                      F.col("n_chars"), F.col("source"), rn,
+                      "^src1[0-9]$", F.lit(True))
+    return d.select("doc_id", "source", pred.alias("selected"))
+
+
+def _q_select_matching_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-matching-path / discard-non-matching-path (ref strategy.py:156-167)."""
+    return _path_strategy_over_docs("select-matching-path", spark, sf_dir)
+
+
+def _q_select_non_matching_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select-non-matching-path / discard-matching-path (ref strategy.py:170-181)."""
+    return _path_strategy_over_docs("select-non-matching-path", spark, sf_dir)
+
+
+def _q_normalize_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME-parameter stripper (ref mail.py:548-565) over synthetic
+    'Text/<lang>; charset=…' values."""
+    from pysparkdedup.normalize import normalize_content_type
+
+    d = _docs(spark, sf_dir)
+    val = F.concat(F.lit("Text/"), F.coalesce(F.col("lang"), F.lit("plain")),
+                   F.lit("; charset=UTF-8; boundary="), F.col("source"))
+    return d.select("doc_id", normalize_content_type(val).alias("mime"))
+
+
+def _q_normalize_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address normalizer: quote-drop + ws-collapse + bracket-strip
+    (ref mail.py:578-594) over synthetic '"User  <src>" <src@example.com>'."""
+    from pysparkdedup.normalize import normalize_address
+
+    d = _docs(spark, sf_dir)
+    val = F.concat(F.lit('"User  '), F.col("source"), F.lit('" \t<'),
+                   F.col("source"), F.lit("@example.com>"))
+    return d.select("doc_id", normalize_address(val).alias("addr"))
+
+
+def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (textstats.detected_lang) — pure column
+    algebra, replayed exactly by the DuckDB oracle (argmax by score then lang)."""
+    from pysparkdedup.textstats import detected_lang
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", detected_lang().alias("lang_pred"), "lang")
+
+
+def _q_guards_eviction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy outlier eviction (guards.apply_guards, ref deduplicate.py:304-359)
+    — rows-only: lang-keyed groups breach the size spread, forcing the full
+    pairwise-offense + greedy-eviction Arrow path. Deterministic (tie-break on
+    url, diff memoized per body pair)."""
+    from pysparkdedup.guards import apply_guards
+
+    d = _docs(spark, sf_dir)
+    df = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("n_chars").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("raw_hash"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("cluster_key"),
+    )
+    cfg = DedupConfig(size_threshold=100, content_threshold=768)
+    return apply_guards(df, cfg).select("url", "evicted", "guard_skip_kind")
+
+
+def _q_checkpoint_resume_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint anti-join resume (checkpoint.signatures_with_checkpoint,
+    ref cache.py:248-317): commit signatures for the even half, then run the
+    full corpus — evens restore as cache hits, odds sign fresh. content_hash
+    is SQL-replayable, so resume correctness gets a full oracle."""
+    import shutil
+    import tempfile
+
+    from pysparkdedup.checkpoint import signatures_with_checkpoint
+
+    pages = _docs_as_pages(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="pysparkdedup-ckpt-q-")
+    try:
+        cfg = DedupConfig()
+        evens = pages.filter(F.col("url").cast("long") % 2 == 0)
+        signatures_with_checkpoint(evens, cfg, ckpt)
+        out = signatures_with_checkpoint(pages, cfg, ckpt)
+        # `out` is localCheckpoint()ed by the commit path — materialized,
+        # safe to remove the backing files.
+        return out.select("url", "content_hash")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 # ---- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _q_minhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,11 +511,14 @@ def _q_simhash_sigs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed substring containment (suffix.py) — rows-only check."""
+    """Distributed containment dedup (suffix.containment_edges) in its
+    token-aligned mode — candidate generation is provably complete for
+    contiguous token containment (every inner shingle is an outer shingle),
+    so the DuckDB contains() oracle replays it exactly."""
     from pysparkdedup.suffix import containment_edges
 
     pages = _docs_as_pages(spark, sf_dir)
-    return containment_edges(pages, DedupConfig())
+    return containment_edges(pages, DedupConfig(), verify="token")
 
 
 def _q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,14 +528,6 @@ def _q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _docs_as_pages(spark, sf_dir)
     return winnowing_fingerprints(pages).select(
         "url", F.size(F.coalesce("fingerprints", F.array())).alias("n_fp"))
-
-
-def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID (textstats.py) — rows-only check."""
-    from pysparkdedup.textstats import detected_lang
-
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", detected_lang().alias("lang_pred"), "lang")
 
 
 def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +594,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_oldest_per_user": _q_select_oldest_per_user,
         "select_one_per_user": _q_select_one_per_user,
         "select_biggest_per_user": _q_select_biggest_per_user,
+        "select_older_per_user": _q_select_older_per_user,
+        "select_newer_per_user": _q_select_newer_per_user,
+        "select_smaller_per_user": _q_select_smaller_per_user,
+        "select_smallest_per_user": _q_select_smallest_per_user,
+        "select_bigger_per_user": _q_select_bigger_per_user,
+        "select_all_but_one_per_user": _q_select_all_but_one_per_user,
+        "select_matching_path": _q_select_matching_path,
+        "select_non_matching_path": _q_select_non_matching_path,
         "cascade_newest_then_one": _q_cascade_newest_then_one,
         "reject_filter_by_lang": _q_reject_filter_by_lang,
         "regexp_select": _q_regexp_select,
@@ -462,20 +615,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_ws_hash": _q_collapse_ws_hash,
         "normalize_date_day": _q_normalize_date_day,
         "strip_angle_brackets": _q_strip_angle_brackets,
-        # rows-only (non-SQL-expressible)
+        "normalize_content_type": _q_normalize_content_type,
+        "normalize_address": _q_normalize_address,
+        "lang_id_docs": _q_lang_id_docs,
+        "containment_pairs_docs": _q_containment_pairs_docs,
+        "checkpoint_resume_docs": _q_checkpoint_resume_docs,
+        # rows-only (non-SQL-expressible: iterative greedy eviction,
+        # MinHash/SimHash signatures, union-find, winnowing, sign-LSH)
+        "guards_eviction_docs": _q_guards_eviction_docs,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
         "simhash_sigs_docs": _q_simhash_sigs_docs,
-        "containment_pairs_docs": _q_containment_pairs_docs,
         "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
-        "lang_id_docs": _q_lang_id_docs,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pysparkdedup.textstats import STOPWORDS
+
     norm_hash = r"sha256(regexp_replace(text, '\s', '', 'g'))"
     toks = r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), t -> t != '')"
+    # argmax by (score DESC, candidate-lang DESC) — replays Spark's
+    # array_max over struct(score, lang) exactly (lexicographic struct max).
+    lang_scores_sql = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, lang, '{lang}' AS cand,
+                   len(list_intersect(toks,
+                       [{', '.join("'" + w + "'" for w in words)}]))::DOUBLE
+                   / greatest(len(toks), 1) AS score
+            FROM tok"""
+        for lang, words in STOPWORDS.items()
+    )
     return {
         "exact_dup_groups": f"""
             SELECT {norm_hash} AS content_hash,
@@ -500,11 +670,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT h, count(*) AS n FROM ann WHERE NOT rej GROUP BY h
             )
             SELECT (SELECT count(*) FROM ann) AS found,
-                   (SELECT coalesce(sum(rej::int), 0) FROM ann) AS rejected,
-                   (SELECT coalesce(sum((NOT rej)::int), 0) FROM ann) AS retained,
+                   (SELECT coalesce(sum(rej::int), 0)::BIGINT FROM ann) AS rejected,
+                   (SELECT coalesce(sum((NOT rej)::int), 0)::BIGINT FROM ann) AS retained,
                    (SELECT count(*) FROM g) AS hashes,
-                   (SELECT coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) FROM g) AS unique_docs,
-                   (SELECT coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) FROM g) AS duplicates
+                   (SELECT coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)::BIGINT FROM g) AS unique_docs,
+                   (SELECT coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT FROM g) AS duplicates
         """,
         "select_newest_per_user": """
             SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
@@ -557,7 +727,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reject_filter_by_lang": """
             SELECT lang, count(*) AS found,
-                   coalesce(sum((text IS NULL OR length(trim(text)) < 1)::int), 0) AS rejected
+                   coalesce(sum((text IS NULL OR length(trim(text)) < 1)::int), 0)::BIGINT AS rejected
             FROM documents GROUP BY lang
         """,
         "regexp_select": """
@@ -628,7 +798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collapse_ws_hash": r"""
             SELECT doc_id,
-                   sha256(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))
+                   sha256(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
                    AS collapsed_hash
             FROM documents
         """,
@@ -642,6 +812,107 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract('<' || source || '>',
                                             '^<([^<>,]+)>$', 1)
                         ELSE '<' || source || '>' END AS stripped
+            FROM documents
+        """,
+        "select_older_per_user": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS mx FROM events)
+            WHERE ts < mx
+        """,
+        "select_newer_per_user": """
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM (SELECT *, min(ts) OVER (PARTITION BY user_id) AS mn FROM events)
+            WHERE ts > mn
+        """,
+        "select_smaller_per_user": """
+            SELECT event_id, user_id
+            FROM (SELECT *, max(value) OVER (PARTITION BY user_id) AS mx FROM events)
+            WHERE value < mx
+        """,
+        "select_smallest_per_user": """
+            SELECT event_id, user_id
+            FROM (SELECT *, min(value) OVER (PARTITION BY user_id) AS mn FROM events)
+            WHERE value = mn
+        """,
+        "select_bigger_per_user": """
+            SELECT event_id, user_id
+            FROM (SELECT *, min(value) OVER (PARTITION BY user_id) AS mn FROM events)
+            WHERE value > mn
+        """,
+        "select_all_but_one_per_user": """
+            SELECT event_id, user_id
+            FROM (SELECT event_id, user_id,
+                         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                  FROM events)
+            WHERE rn > 1
+        """,
+        "select_matching_path": """
+            SELECT doc_id, source,
+                   regexp_matches(source, '^src1[0-9]$') AS selected
+            FROM documents
+        """,
+        "select_non_matching_path": """
+            SELECT doc_id, source,
+                   NOT regexp_matches(source, '^src1[0-9]$') AS selected
+            FROM documents
+        """,
+        "normalize_content_type": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                       'Text/' || coalesce(lang, 'plain')
+                       || '; charset=UTF-8; boundary=' || source,
+                       ';.*', ''))) AS mime
+            FROM documents
+        """,
+        "normalize_address": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       trim(regexp_replace(
+                           replace('"User  ' || source || '" ' || chr(9)
+                                   || '<' || source || '@example.com>',
+                                   '"', ''),
+                           '\s+', ' ', 'g')),
+                       '[<>]', '', 'g') AS addr
+            FROM documents
+        """,
+        "lang_id_docs": rf"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+'), t -> t != '') AS toks
+                FROM documents
+            ), s AS (
+                {lang_scores_sql}
+            ), best AS (
+                SELECT doc_id, lang, cand, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, cand DESC) AS rn
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred,
+                   lang
+            FROM best WHERE rn = 1
+        """,
+        "containment_pairs_docs": r"""
+            WITH t AS (
+                SELECT doc_id::VARCHAR AS id,
+                       ' ' || array_to_string(
+                           list_filter(regexp_split_to_array(
+                               lower(coalesce(text, '')), '[^0-9a-z_]+'),
+                               x -> x != ''), ' ') || ' ' AS ts,
+                       len(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^0-9a-z_]+'),
+                           x -> x != '')) AS n
+                FROM documents
+            )
+            SELECT DISTINCT a.id AS inner, b.id AS outer
+            FROM t a JOIN t b ON a.id != b.id AND contains(b.ts, a.ts)
+            WHERE a.n >= 5
+        """,
+        "checkpoint_resume_docs": r"""
+            SELECT doc_id::VARCHAR AS url,
+                   sha256(regexp_replace(text, '\s', '', 'g')) AS content_hash
             FROM documents
         """,
         "embedding_top1_exact": """

@@ -39,15 +39,57 @@ def _subset(final: DataFrame, action: str) -> DataFrame:
 
 
 def perform(final: DataFrame, action: str, out_path: str | None = None,
-            dry_run: bool = False, pages: DataFrame | None = None) -> dict:
+            dry_run: bool = False, pages: DataFrame | None = None,
+            fmt: str = "parquet", append: bool = False) -> dict:
     """Route an action verb (ref action.py:312-339). Returns counts.
 
     The pipeline dehydrates the payload column (html) from its working set;
     pass the source ``pages`` frame to re-hydrate written rows by url
     (ref hydrate, mail.py:264-294). Without it, the payload column is omitted.
+
+    ``fmt`` selects the export format (parquet|json|csv — the table-scale
+    subset of the reference's 6 box formats, ref mail_box.py:490-511);
+    ``append=True`` appends to an existing export instead of replacing it
+    (ref --export-append, cli.py:501 / create_box append mode).
     """
     if action not in ACTIONS:
         raise ValueError(f"unknown action: {action!r}")
+    # One execution per action: the count action and the write both read the
+    # pipeline tail, and Spark has no DAG-level CSE — persist `final` so the
+    # guard/cascade tail is computed once (the count materializes the cache,
+    # the write reads it). Released before returning.
+    already_cached = final.storageLevel.useMemory or final.storageLevel.useDisk
+    if not already_cached and not dry_run:
+        final = final.persist()
+    try:
+        return _perform(final, action, out_path, dry_run, pages, fmt, append)
+    finally:
+        if not already_cached and not dry_run:
+            final.unpersist()
+
+
+EXPORT_FORMATS = ("parquet", "json", "csv")
+
+
+def _write(df: DataFrame, out_path: str, fmt: str, append: bool) -> None:
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"unknown export format: {fmt!r} "
+                         f"(one of {EXPORT_FORMATS})")
+    mode = "append" if append else "overwrite"
+    if fmt == "csv":
+        # CSV has no binary cells: payload travels base64-encoded (the json
+        # writer base64s binary natively).
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() == "binary":
+                df = df.withColumn(f_.name, F.base64(F.col(f_.name)))
+        df.write.mode(mode).option("header", True).csv(out_path)
+    else:
+        getattr(df.write.mode(mode), fmt)(out_path)
+
+
+def _perform(final: DataFrame, action: str, out_path: str | None,
+             dry_run: bool, pages: DataFrame | None,
+             fmt: str = "parquet", append: bool = False) -> dict:
     target = _subset(final, action)
     count = target.count()
     verb = action.split("-")[0]
@@ -64,7 +106,7 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
     if verb in ("copy", "move"):
         if not out_path:
             raise ValueError(f"{action} requires out_path")
-        hydrate(target).write.mode("overwrite").parquet(out_path)
+        _write(hydrate(target), out_path, fmt, append)
         written = True
         if verb == "move":
             # Table-side delete is the caller's rewrite of the source (we
@@ -74,12 +116,12 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
         if not out_path:
             raise ValueError(f"{action} requires out_path (the rewritten table)")
         keep = final.join(target.select("url"), "url", "left_anti")
-        hydrate(keep).write.mode("overwrite").parquet(out_path)
+        _write(hydrate(keep), out_path, fmt, append)
         written = True
     elif verb == "hardlink":
         if not out_path:
             raise ValueError(f"{action} requires out_path")
-        pointer_dedup(final).write.mode("overwrite").parquet(out_path)
+        _write(pointer_dedup(final), out_path, fmt, append)
         written = True
     return {"action": action, "count": count, "written": written}
 

@@ -43,12 +43,25 @@ DATA_DIR = "data"
 
 def stale_key_col() -> F.Column:
     """Cheap change-detection key per row (ref StaleKey cache.py:64-69):
-    derived from text length + warc_ts, NOT the text bytes — detecting a
-    changed row must not require reading/hashing the payload."""
+    derived from text length + warc_ts + a crc32 of a fixed-length edge
+    sample, NOT a full-text hash — detecting a changed row must stay cheap.
+
+    The edge sample closes the gap vs the reference's OS-maintained mtime_ns
+    (which we don't have: warc_ts is just a data column): a same-length text
+    edit that leaves warc_ts alone would otherwise silently reuse stale
+    checkpointed signatures. Length + first/last 64 chars catches everything
+    but an interior same-length edit with untouched edges — documented
+    residual risk, same class as an mtime-preserving edit in the reference.
+    """
+    sample = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), -64, 64),
+    )
     return F.sha2(
         F.concat_ws(
             "|",
             F.coalesce(F.length("text"), F.lit(-1)).cast("string"),
+            F.crc32(F.encode(sample, "utf-8")).cast("string"),
             F.coalesce(F.col("warc_ts").cast("string"), F.lit("null")),
         ),
         256,

@@ -47,16 +47,61 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size-threshold", type=int, default=512)
     p.add_argument("--content-threshold", type=int, default=768)
     p.add_argument("--hash-body", default="normalized",
-                   choices=["raw", "normalized"])
+                   choices=["skip", "raw", "normalized"],
+                   help="BodyHasher mode (ref deduplicate.py:164-178; 'skip' "
+                        "keys on metadata only)")
     p.add_argument("--checkpoint", default=None,
                    help="signature checkpoint dir (anti-join resume)")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--export-format", default="parquet",
+                   choices=["parquet", "json", "csv"],
+                   help="export box format (ref mail_box.py:490-511)")
+    p.add_argument("--export-append", action="store_true",
+                   help="append to an existing export (ref cli.py:501)")
+    p.add_argument("--config", default=None, metavar="TOML",
+                   help="TOML config file; CLI flags override file values "
+                        "(ref tests/test_config.py config-file layer)")
     p.add_argument("--master", default=None)
     return p
 
 
+def load_config_file(path: str) -> dict:
+    """Load the [pysparkdedup] table (or top level) of a TOML config file —
+    the reference's config-file layer (ref tests/test_config.py). Keys use
+    either the flag spelling ('size-threshold') or snake_case."""
+    import tomllib
+
+    with open(path, "rb") as fh:
+        data = tomllib.load(fh)
+    table = data.get("pysparkdedup", data)
+    if not isinstance(table, dict):
+        raise ValueError(f"config file {path}: expected a table of options")
+    return {k.replace("-", "_"): v for k, v in table.items()}
+
+
+def _merge_config(args: argparse.Namespace,
+                  parser: argparse.ArgumentParser) -> argparse.Namespace:
+    """File values fill in only options the command line left at default —
+    the reference's precedence (CLI > config file > defaults)."""
+    if not args.config:
+        return args
+    file_vals = load_config_file(args.config)
+    defaults = {a.dest: a.default for a in parser._actions}
+    for key, value in file_vals.items():
+        if key == "strategy" and isinstance(value, (list, tuple)):
+            if not args.strategy:
+                args.strategy = list(value)
+            continue
+        if not hasattr(args, key):
+            raise ValueError(f"config file: unknown option {key!r}")
+        if getattr(args, key) == defaults.get(key):
+            setattr(args, key, value)
+    return args
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = _merge_config(parser.parse_args(argv), parser)
     strategies = tuple(args.strategy) or ("select-newest",)
     cfg = DedupConfig(
         strategies=strategies,
@@ -107,7 +152,9 @@ def main(argv: list[str] | None = None) -> int:
         stats = compute_stats(final)
         if args.action:
             result = perform(final, args.action, args.output,
-                             dry_run=args.dry_run, pages=pages)
+                             dry_run=args.dry_run, pages=pages,
+                             fmt=args.export_format,
+                             append=args.export_append)
             verb_stat = {"copy": Stat.MAIL_COPIED, "move": Stat.MAIL_MOVED,
                          "delete": Stat.MAIL_DELETED}.get(
                              args.action.split("-")[0])

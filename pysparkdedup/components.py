@@ -23,9 +23,16 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         on_nonconverged: str = "raise") -> DataFrame:
     """edges (a, b) -> (url, cluster_key) with cluster_key = min url of the
-    component. Only nodes that appear in an edge are returned."""
+    component. Only nodes that appear in an edge are returned.
+
+    If ``max_iter`` is exhausted before the fixpoint (a long-diameter chain
+    graph — containment/ngram edges can produce them), the labels would be
+    silently split components; ``on_nonconverged`` makes that observable:
+    'raise' (default) aborts, 'warn' emits a warning with the residual
+    changed-label count and returns the partial labels."""
     # Materialize the edge input once: the symmetric union references it
     # twice, and Spark recomputes shared subtrees (no DAG-level CSE) — for
     # LSH edges that would mean running candidate generation + verification
@@ -73,6 +80,16 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
         labels = updated.select("url", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"iterations ({changed} labels still changing) — returned "
+               f"cluster keys would split long-diameter components; raise "
+               f"max_iter")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(
         "url", F.concat(F.lit("cc:"), F.col("label")).alias("cluster_key")

@@ -14,9 +14,13 @@ import json
 from dataclasses import dataclass, field, asdict
 
 
-# Body/content hashing modes, mirroring BodyHasher (ref deduplicate.py:164-178).
+# Body/content hashing modes, mirroring BodyHasher (ref deduplicate.py:164-178):
+# raw/normalized append the body hash to the key; SKIP keys on metadata only
+# (the reference's header-only hash, ref deduplicate.py:167,175 — our web rows
+# have no headers, so SKIP keys on lang + UTC day + normalized first line).
 CONTENT_HASH_RAW = "raw"
 CONTENT_HASH_NORMALIZED = "normalized"
+CONTENT_HASH_SKIP = "skip"
 
 DEFAULT_SIZE_THRESHOLD = 512  # bytes, ref cli.py:439-450
 DEFAULT_CONTENT_THRESHOLD = 768  # bytes, ref cli.py:451-464

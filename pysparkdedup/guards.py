@@ -141,7 +141,14 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
         F.lit(st < 0)
         | ((F.max("n_bytes").over(w) - F.min("n_bytes").over(w)) <= F.lit(st))
     )
-    one_body = F.size(F.collect_set("raw_hash").over(w)) == 1
+    # Single-distinct test with O(1) window state: min==max over non-null
+    # hashes. A collect_set here would materialize every distinct raw hash of
+    # a group in one task's window buffer — O(n) memory on exactly the skewed
+    # mega-cluster (boilerplate + whitespace jitter) the engine must survive.
+    # raw_hash is non-null for all non-rejected rows; all-null groups fail the
+    # short-circuit (coalesce False), matching collect_set-size==1 semantics.
+    one_body = F.coalesce(
+        F.min("raw_hash").over(w) == F.max("raw_hash").over(w), F.lit(False))
     passes = (n == 1) | (spread_ok & (F.lit(ct < 0) | one_body))
     flagged = df.withColumn("_guard_pass", passes)
 

@@ -2,16 +2,20 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, partition-friendly batch shapes, Arrow UDF
-signatures) is real and tested, while the codec kernels are STUBS — the
-decode libraries are not in this container. ``fake_decode=True`` swaps in a
-deterministic fake (dimensions/hash derived from the bytes) so pipelines are
-testable end to end; ``fake_decode=False`` raises NotImplementedError at the
-point a real codec would run.
+signatures) is real and tested. Container *header* parsing (format sniff +
+image dimensions for PNG/JPEG/GIF) is real, pure-stdlib code — no codec
+libraries needed to read IHDR/SOF/logical-screen headers. Pixel decode /
+feature extraction remains a STUB — those libraries are not in this
+container: ``fake_decode=True`` swaps in a deterministic fake (features
+derived from the bytes) so pipelines are testable end to end;
+``fake_decode=False`` raises NotImplementedError at the point a real codec
+would run.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,20 +39,77 @@ _FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(mime, width, height) from container headers — pure stdlib, reads only
+    the header bytes (PNG IHDR, JPEG SOFn, GIF logical screen descriptor).
+    Unknown/truncated containers return (None, None, None)."""
+    if not payload or len(payload) < 10:
+        return None, None, None
+    # PNG: 8-byte signature, then the IHDR chunk (len+type+W+H big-endian).
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return "image/png", w, h
+        return "image/png", None, None
+    # GIF: 'GIF87a'/'GIF89a', then little-endian W,H at offsets 6/8.
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "image/gif", w, h
+    # JPEG: walk marker segments to the first SOF0-15 (excluding DHT/DAC/
+    # RST/padding); height then width big-endian at +5 within the segment.
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "image/jpeg", w, h
+            if marker == 0xDA:  # start of scan: entropy data, stop
+                break
+            i += 2 + seg_len
+        return "image/jpeg", None, None
+    return None, None, None
+
+
 def with_media_meta(df: DataFrame, payload_col: str = "html",
                     media_type: str = "image",
                     mime: str = "application/octet-stream") -> DataFrame:
-    """Attach a typed metadata struct to an opaque binary column."""
-    return df.withColumn(
-        "media_meta",
-        F.struct(
-            F.lit(media_type).alias("media_type"),
-            F.lit(mime).alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-        ),
+    """Attach a typed metadata struct to an opaque binary column, with mime
+    and dimensions parsed from real container headers when recognized
+    (``parse_image_header``); ``mime`` is the fallback for unrecognized
+    payloads. Arrow-batched; per-row work is bounded header walking."""
+    meta_schema = T.StructType(
+        [T.StructField("url", T.StringType(), False)]
+        + [T.StructField("media_meta", MEDIA_META_SCHEMA, True)]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col].tolist():
+                b = bytes(payload) if payload is not None else None
+                sniffed, w, h = parse_image_header(b)
+                metas.append({
+                    "media_type": media_type,
+                    "mime": sniffed or mime,
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                })
+            yield pd.DataFrame({"url": pdf["url"], "media_meta": metas})
+
+    meta = df.select("url", payload_col).mapInPandas(run, schema=meta_schema)
+    return df.join(meta, "url", "left")
 
 
 def extract_features(df: DataFrame, payload_col: str = "html",

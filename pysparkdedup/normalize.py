@@ -21,16 +21,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .config import CONTENT_HASH_NORMALIZED, CONTENT_HASH_RAW, DedupConfig
+from .config import (
+    CONTENT_HASH_NORMALIZED,
+    CONTENT_HASH_RAW,
+    CONTENT_HASH_SKIP,
+    DedupConfig,
+)
 
 
 def collapse_ws(col: Column) -> Column:
     """Collapse any run of whitespace to a single space and trim.
 
     Exactly ``" ".join(value.split())`` (ref mail.py:525-526): Python's
-    ``str.split()`` drops leading/trailing whitespace too, hence the trim.
+    ``str.split()`` drops leading/trailing whitespace too. Collapse BEFORE
+    trimming — F.trim strips only spaces, so leading/trailing tabs/newlines
+    must first be collapsed into edge spaces ('\\tfoo' -> ' foo' -> 'foo').
     """
-    return F.regexp_replace(F.trim(col), r"\s+", " ")
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def strip_all_ws(col: Column) -> Column:
@@ -98,4 +105,31 @@ def content_hash_expr(cfg: DedupConfig, text: Column = None) -> Column:
         return raw_text_hash(text, cfg.hash_bits)
     if cfg.content_hash_mode == CONTENT_HASH_NORMALIZED:
         return normalized_text_hash(text, cfg.hash_bits)
+    if cfg.content_hash_mode == CONTENT_HASH_SKIP:
+        return metadata_hash(text, bits=cfg.hash_bits)
     raise ValueError(f"unknown content_hash_mode: {cfg.content_hash_mode}")
+
+
+def metadata_hash(text: Column = None, lang: Column = None,
+                  warc_ts: Column = None, bits: int = 256) -> Column:
+    """BodyHasher.SKIP analog (ref deduplicate.py:167,175): the reference keys
+    on the serialized-header hash alone, never reading the body. Web rows carry
+    no headers, so the stated analog keys on the metadata tuple
+    (lang, UTC day of warc_ts, normalized first line as the 'subject') —
+    the body influences the key only through its title-like first line."""
+    if text is None:
+        text = F.col("text")
+    if lang is None:
+        lang = F.col("lang")
+    if warc_ts is None:
+        warc_ts = F.col("warc_ts")
+    first_line = F.split(F.coalesce(text, F.lit("")), "\n").getItem(0)
+    return F.sha2(
+        F.concat_ws(
+            "|",
+            F.coalesce(lang, F.lit("")),
+            F.coalesce(normalize_date_day(warc_ts), F.lit("")),
+            normalize_subject(collapse_ws(first_line)),
+        ),
+        bits,
+    )

@@ -81,11 +81,21 @@ _PART_SCHEMA = T.StructType([
 
 
 def partition_substring_dedup(df: DataFrame, text_col: str = "text",
-                              min_chars: int = 20) -> DataFrame:
+                              min_chars: int = 20,
+                              truncation_acc=None) -> DataFrame:
     """(url, contained_in) for docs whose full text occurs inside another doc
     of the same partition. Exact within partition; containment across
     partitions is out of scope by design (repartition on a content-derived
-    key first to co-locate candidates)."""
+    key first to co-locate candidates).
+
+    Recall within a partition is total: a match never straddles the '\\x00'
+    separator (texts can't contain it), so every SA hit lies wholly inside one
+    doc — any hit owned by another doc IS a container, and a doc's own full
+    text matches itself at exactly one position. The scan therefore finds an
+    owner within the first two matching SA entries; ``scan_cap`` is a pure
+    safety bound, and hitting it is counted in ``truncation_acc`` (a Spark
+    accumulator, pass ``sc.accumulator(0)``) — no silent truncation.
+    """
 
     def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         urls: list[str] = []
@@ -101,22 +111,26 @@ def partition_substring_dedup(df: DataFrame, text_col: str = "text",
         # offset -> owning doc spans
         starts = np.zeros(len(texts), dtype=np.int64)
         np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
-        ends = starts + np.array([len(t) for t in texts], dtype=np.int64)
         out_urls, out_in = [], []
-        scan_cap = 64  # bound per-doc SA-range scan (dup-heavy partitions)
+        scan_cap = 64  # safety bound only (see docstring); counted if hit
         for idx in range(len(texts)):
             text = texts[idx]
             if len(text) < min_chars:
                 continue
             lo = _sa_lower_bound(hay, sa, text)
             owner = None
-            for j in range(lo, min(lo + scan_cap, len(sa))):
+            for j in range(lo, len(sa)):
                 pos = int(sa[j])
                 if hay[pos : pos + len(text)] != text:
                     break  # left the matching SA range
                 doc_i = int(np.searchsorted(starts, pos, side="right") - 1)
-                if doc_i != idx and pos + len(text) <= ends[doc_i]:
+                if doc_i != idx:
+                    # Match can't cross a separator => fully inside doc_i.
                     owner = urls[doc_i]
+                    break
+                if j - lo + 1 >= scan_cap:  # unreachable per docstring proof
+                    if truncation_acc is not None:
+                        truncation_acc.add(1)
                     break
             if owner is not None:
                 out_urls.append(urls[idx])
@@ -162,11 +176,26 @@ def _shingle_frame(df: DataFrame, cfg: DedupConfig,
 
 
 def containment_edges(df: DataFrame, cfg: DedupConfig, text_col: str = "text",
-                      max_df: int = DEFAULT_MAX_DF) -> DataFrame:
+                      max_df: int = DEFAULT_MAX_DF,
+                      verify: str = "raw") -> DataFrame:
     """(inner, outer): verified 'inner's text occurs inside outer's text'.
 
-    Exact for docs with >= shingle_size tokens. One explode + one equi-join +
-    one verify join; hot shingle keys df-cut at ``max_df``.
+    One explode + one equi-join + one verify join; hot shingle keys df-cut at
+    ``max_df``. Two verify semantics:
+
+    - ``verify='raw'``: byte substring containment (``contains(outer, inner)``).
+      Candidates (inner's min-hash shingle among outer's shingles) are complete
+      only for token-boundary-aligned occurrences — a raw occurrence starting
+      mid-token (e.g. 'a value…' inside 'data value…') produces no shared
+      shingle and is missed; the production default, matching the reference's
+      byte-level notion of content identity.
+    - ``verify='token'``: inner's token sequence is a contiguous subsequence of
+      outer's tokens (whitespace/punctuation-insensitive). Candidates are
+      PROVABLY complete here: contiguous token containment implies every inner
+      k-shingle (hence the min one) is an outer shingle — this variant is
+      exact-recall for docs with >= shingle_size tokens, and is what the
+      driver's DuckDB oracle replays. ASCII tokenization ([0-9a-z_]+ on
+      lowered text), matching the tokenhash kernel on ASCII corpora.
     """
     sh = _shingle_frame(df, cfg, text_col)
     anchors = sh.filter(F.col("anchor").isNotNull()).select("url", "anchor")
@@ -186,8 +215,22 @@ def containment_edges(df: DataFrame, cfg: DedupConfig, text_col: str = "text",
         .select("inner", "outer")
         .dropDuplicates(["inner", "outer"])
     )
-    ti = df.select(F.col("url").alias("inner"), F.col(text_col).alias("_t_in"))
-    to = df.select(F.col("url").alias("outer"), F.col(text_col).alias("_t_out"))
+    if verify == "token":
+        # ' tok tok … ' padded token string: containment on it == contiguous
+        # token-subsequence containment.
+        def tokstr(col):
+            toks = F.filter(
+                F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z_]+"),
+                lambda t: t != "",
+            )
+            return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+        probe = tokstr(F.col(text_col))
+    elif verify == "raw":
+        probe = F.col(text_col)
+    else:
+        raise ValueError(f"unknown verify mode: {verify!r}")
+    ti = df.select(F.col("url").alias("inner"), probe.alias("_t_in"))
+    to = df.select(F.col("url").alias("outer"), probe.alias("_t_out"))
     verified = (
         cand.join(ti, "inner")
         .join(to, "outer")

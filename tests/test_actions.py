@@ -53,3 +53,60 @@ def test_pointer_dedup(final):
 def test_unknown_action(final):
     with pytest.raises(ValueError, match="unknown action"):
         perform(final, "explode-everything")
+
+
+def test_perform_executes_tail_once(final):
+    """act+report is ONE execution of the pipeline tail (ref VERDICT r1 #3):
+    perform persists `final`, so the count materializes the cache and the
+    write reads it — a per-row counter downstream of the pipeline must tick
+    exactly n times."""
+    import pandas as pd
+
+    spark = final.sparkSession
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = final.mapInPandas(tick, schema=final.schema)
+    res = perform(counted, "copy-selected",
+                  str(_tmp_dir()), pages=None)
+    n_rows = final.count()
+    assert res["count"] == 2
+    assert acc.value == n_rows, (
+        f"tail executed {acc.value / n_rows:.1f}x, expected once")
+
+
+def _tmp_dir():
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="pysparkdedup-act-")
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_export_formats(final, tmp_path, fmt):
+    """Multi-format export (ref mail_box.py:490-511 box formats)."""
+    out = str(tmp_path / f"out-{fmt}")
+    res = perform(final, "copy-selected", out, fmt=fmt)
+    assert res["written"] is True
+    reader = final.sparkSession.read.option("header", True)
+    got = getattr(reader, fmt)(out)
+    assert got.count() == 2
+    assert "url" in got.columns
+
+
+def test_export_append(final, tmp_path):
+    """--export-append analog (ref cli.py:501): second write appends."""
+    out = str(tmp_path / "out")
+    perform(final, "copy-selected", out)
+    res = perform(final, "copy-selected", out, append=True)
+    assert res["written"] is True
+    got = final.sparkSession.read.parquet(out)
+    assert got.count() == 4
+
+
+def test_export_unknown_format(final, tmp_path):
+    with pytest.raises(ValueError, match="unknown export format"):
+        perform(final, "copy-selected", str(tmp_path / "x"), fmt="mbox")

@@ -126,3 +126,16 @@ def test_incremental_run_equals_fresh(spark, tmp_path):
     warm = snap(run_incremental(pages, cfg, path))  # restored from checkpoint
     assert cold == fresh
     assert warm == fresh
+
+
+def test_same_length_edit_invalidates_stale_key(spark):
+    """A text edit that preserves length and warc_ts must still change the
+    stale key (ADVICE r1: warc_ts is a data column, not an OS mtime)."""
+    from pysparkdedup.checkpoint import stale_key_col
+    from tests.conftest import make_pages, ts
+
+    a = make_pages(spark, [("u/x", ts(0), "aaaa bbbb cccc", "en")])
+    b = make_pages(spark, [("u/x", ts(0), "aaaa XXXX cccc", "en")])
+    ka = a.select(stale_key_col().alias("k")).first()["k"]
+    kb = b.select(stale_key_col().alias("k")).first()["k"]
+    assert ka != kb

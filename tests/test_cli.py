@@ -45,3 +45,41 @@ def test_cli_end_to_end(spark, pages_factory, tmp_path, capsys):
     assert stats["ACTION_COPY-SELECTED"] == 2
     got = {r["url"] for r in spark.read.parquet(out).collect()}
     assert got == {"u/dup-new", "u/solo"}
+
+
+def test_config_file_layer(tmp_path):
+    """TOML config-file layer (ref tests/test_config.py): file fills
+    defaults, CLI flags win."""
+    from pysparkdedup.cli import _merge_config, build_parser
+
+    cfg_file = tmp_path / "dedup.toml"
+    cfg_file.write_text(
+        '[pysparkdedup]\n'
+        'size-threshold = 99\n'
+        'hash-body = "raw"\n'
+        'strategy = ["select-oldest", "select-one"]\n'
+    )
+    parser = build_parser()
+    args = _merge_config(parser.parse_args(
+        ["--input", "x", "--config", str(cfg_file)]), parser)
+    assert args.size_threshold == 99
+    assert args.hash_body == "raw"
+    assert args.strategy == ["select-oldest", "select-one"]
+
+    # CLI overrides file
+    args = _merge_config(parser.parse_args(
+        ["--input", "x", "--config", str(cfg_file),
+         "--size-threshold", "7", "--strategy", "select-newest"]), parser)
+    assert args.size_threshold == 7
+    assert args.strategy == ["select-newest"]
+
+
+def test_config_file_unknown_key(tmp_path):
+    from pysparkdedup.cli import _merge_config, build_parser
+
+    cfg_file = tmp_path / "bad.toml"
+    cfg_file.write_text("unknown-option = 1\n")
+    parser = build_parser()
+    with pytest.raises(ValueError, match="unknown option"):
+        _merge_config(parser.parse_args(
+            ["--input", "x", "--config", str(cfg_file)]), parser)

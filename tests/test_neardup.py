@@ -156,3 +156,27 @@ def test_minhash_recall_on_corpus(spark):
     assert total > 0
     recall = hit / total
     assert recall >= 0.99, f"recall {recall:.4f} ({hit}/{total})"
+
+
+def test_connected_components_nonconvergence_observable(spark):
+    """max_iter exhaustion must not silently return split components
+    (ADVICE r1): raise by default, warn-and-return on request."""
+    import warnings
+
+    import pytest
+
+    from pysparkdedup.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iter=1,
+                                   on_nonconverged="warn").collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert len(out) == 13
+    # And with enough iterations the chain converges to one component.
+    full = connected_components(edges, max_iter=25).collect()
+    assert {r["cluster_key"] for r in full} == {"cc:n00"}

@@ -72,3 +72,33 @@ def test_raw_vs_normalized_hash(spark):
     assert norm_a == norm_b
     # And the normalized hash is sha256 of the \s-stripped text, bit-exact.
     assert norm_a == hashlib.sha256(b"helloworldfoo").hexdigest()
+
+
+def test_collapse_ws_edge_whitespace(spark):
+    """Leading/trailing tabs/newlines collapse exactly like
+    ' '.join(s.split()) (ADVICE r1: F.trim strips spaces only)."""
+    cases = ["\tfoo", "foo\n", "\n\t foo \t bar\t\n", "  ", ""]
+    df = spark.createDataFrame([(c,) for c in cases], ["v"])
+    got = [r["out"] for r in
+           df.select(N.collapse_ws(F.col("v")).alias("out")).collect()]
+    assert got == [" ".join(c.split()) for c in cases]
+
+
+def test_metadata_hash_skip_mode(spark):
+    """BodyHasher.SKIP analog (ref deduplicate.py:167,175): key ignores the
+    body beyond the normalized first line."""
+    from pysparkdedup.config import CONTENT_HASH_SKIP, DedupConfig
+    from pysparkdedup.normalize import content_hash_expr
+    from tests.conftest import ts
+
+    rows = [
+        ("u/a", ts(0), "Title here\nbody one", "en"),
+        ("u/b", ts(30), "Re: Title  here\ncompletely different body", "en"),
+        ("u/c", ts(0), "Title here\nbody one", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text", "lang"])
+    cfg = DedupConfig(content_hash_mode=CONTENT_HASH_SKIP)
+    got = {r["url"]: r["h"] for r in
+           df.select("url", content_hash_expr(cfg).alias("h")).collect()}
+    assert got["u/a"] == got["u/b"]  # same metadata tuple, bodies differ
+    assert got["u/a"] != got["u/c"]  # lang differs

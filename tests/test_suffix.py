@@ -60,3 +60,29 @@ def test_containment_edges_distributed(spark):
     ).count()
     assert sub_pairs > 0
     assert found >= sub_pairs  # every planted containment found
+
+
+def test_containment_token_verify(pages_factory):
+    """verify='token': whitespace-insensitive contiguous token containment —
+    candidate generation is provably complete for this semantic (every inner
+    shingle is an outer shingle), so the driver's DuckDB oracle can replay it
+    exactly."""
+    from pysparkdedup.config import DedupConfig
+    from pysparkdedup.suffix import containment_edges
+    from tests.conftest import ts
+
+    inner = "alpha beta gamma delta epsilon"
+    outer = "zero  alpha beta\tgamma delta epsilon omega"  # ws jitter
+    rows = [
+        ("u/in", ts(0), inner, "en"),
+        ("u/out", ts(1), outer, "en"),
+        ("u/other", ts(2), "one two three four five six", "en"),
+    ]
+    cfg = DedupConfig()  # shingle_size=5
+    tok = {(r["inner"], r["outer"]) for r in
+           containment_edges(pages_factory(rows), cfg,
+                             verify="token").collect()}
+    assert tok == {("u/in", "u/out")}
+    raw = {(r["inner"], r["outer"]) for r in
+           containment_edges(pages_factory(rows), cfg, verify="raw").collect()}
+    assert raw == set()  # ws jitter breaks byte-level containment
