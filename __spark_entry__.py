@@ -251,7 +251,11 @@ def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-shingle Jaccard self-join, integer outputs (ngram.py)."""
+    """Exact 5-shingle Jaccard self-join, integer outputs (ngram.py).
+
+    Deliberately omits the df-cut so the DuckDB oracle replays it exactly —
+    a small-sf contract query ONLY (quadratic on hot shingles at scale); the
+    production path is ngram.jaccard_edges with the df-cut (bench.py)."""
     from pysparkdedup.ngram import with_shingles
 
     d = _docs(spark, sf_dir).select("doc_id", "text")

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                          max_iter: int = 25,
-                         on_nonconverged: str = "raise") -> DataFrame:
+                         on_nonconverged: str = "raise",
+                         reliable: bool = False) -> DataFrame:
     """edges (a, b) -> (url, cluster_key) with cluster_key = min url of the
     component. Only nodes that appear in an edge are returned.
 
@@ -32,14 +33,27 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     graph — containment/ngram edges can produce them), the labels would be
     silently split components; ``on_nonconverged`` makes that observable:
     'raise' (default) aborts, 'warn' emits a warning with the residual
-    changed-label count and returns the partial labels."""
+    changed-label count and returns the partial labels.
+
+    ``reliable=True`` materializes each iteration with ``checkpoint()`` (to
+    ``spark.sparkContext.setCheckpointDir``, i.e. HDFS/object storage on a
+    cluster) instead of ``localCheckpoint()``. localCheckpoint blocks live in
+    executor storage and die with a lost executor — fatal mid-fixpoint on a
+    real cluster; the default stays local for single-JVM runs where it is
+    both safe and cheaper."""
+
+    def materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # Materialize the edge input once: the symmetric union references it
     # twice, and Spark recomputes shared subtrees (no DAG-level CSE) — for
     # LSH edges that would mean running candidate generation + verification
     # twice.
-    edges = edges.select(
+    edges = materialize(edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint(eager=True)
+    ))
     # No distinct(): min-aggregation is idempotent over duplicate edges, and
     # the dedup shuffle would cost more than it saves.
     sym = edges.select(
@@ -50,14 +64,13 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
 
     # Seed labels with the first propagation fused in: label(v) =
     # min(v, min(neighbors)) — saves one full iteration on star graphs.
-    labels = (
+    labels = materialize(
         sym.groupBy("dst")
         .agg(F.min("src").alias("nmin"))
         .select(
             F.col("dst").alias("url"),
             F.least(F.col("dst"), F.col("nmin")).alias("label"),
         )
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -70,11 +83,10 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
         # Checkpoint BEFORE the convergence count: the count and the next
         # iteration both read `updated`, and without materialization the
         # whole join would run twice per iteration.
-        updated = (
+        updated = materialize(
             labels.join(neighbor_min, on="url", how="left")
             .withColumn("new_label", F.least("label", F.col("nmin")))
             .select("url", "label", "new_label")
-            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("url", F.col("new_label").alias("label"))

@@ -180,3 +180,18 @@ def test_connected_components_nonconvergence_observable(spark):
     # And with enough iterations the chain converges to one component.
     full = connected_components(edges, max_iter=25).collect()
     assert {r["cluster_key"] for r in full} == {"cc:n00"}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True materializes iterations via checkpoint() (cluster-safe
+    storage) and produces identical components (VERDICT r1: localCheckpoint
+    dies with lost executors on a real cluster)."""
+    from pysparkdedup.components import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["a", "b"])
+    got = {(r["url"], r["cluster_key"])
+           for r in connected_components(edges, reliable=True).collect()}
+    assert got == {("a", "cc:a"), ("b", "cc:a"), ("c", "cc:a"),
+                   ("x", "cc:x"), ("y", "cc:x")}
