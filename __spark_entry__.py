@@ -444,6 +444,22 @@ def _q_normalize_address(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", normalize_address(val).alias("addr"))
 
 
+def _q_normalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (normalize.normalize_url — web analog of the
+    reference's path/message-id normalizers, ref mail.py:176-193,596-619)
+    over synthetic tracking-laden URLs."""
+    from pysparkdedup.normalize import normalize_url
+
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("HTTP://Example.COM:80/"), F.col("source"),
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    return d.select("doc_id", normalize_url(raw).alias("canon_url"))
+
+
 def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (textstats.detected_lang) — pure column
     algebra, replayed exactly by the DuckDB oracle (argmax by score then lang)."""
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_angle_brackets": _q_strip_angle_brackets,
         "normalize_content_type": _q_normalize_content_type,
         "normalize_address": _q_normalize_address,
+        "normalize_url": _q_normalize_url,
         "lang_id_docs": _q_lang_id_docs,
         "containment_pairs_docs": _q_containment_pairs_docs,
         "checkpoint_resume_docs": _q_checkpoint_resume_docs,
@@ -878,6 +895,38 @@ def oracle_sql() -> dict[str, str]:
                            '\s+', ' ', 'g')),
                        '[<>]', '', 'g') AS addr
             FROM documents
+        """,
+        "normalize_url": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTP://Example.COM:80/' || source || '/page/' || doc_id
+                       || '?utm_source=x&id=' || doc_id
+                       || '&utm_campaign=y#frag' AS u
+                FROM documents
+            ), nofrag AS (
+                SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw
+            ), lowered AS (
+                SELECT doc_id,
+                       lower(regexp_extract(u,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(u,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u
+                FROM nofrag
+            ), noport AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(u, ':(80|443)/', '/'),
+                                      ':(80|443)$', '') AS u
+                FROM lowered
+            ), notrack AS (
+                SELECT doc_id,
+                       regexp_replace(u,
+                           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+                FROM noport
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(u, '[?&]$', ''), '/$', '')
+                   AS canon_url
+            FROM notrack
         """,
         "lang_id_docs": rf"""
             WITH tok AS (

@@ -84,6 +84,32 @@ def strip_angle_brackets(col: Column) -> Column:
     return F.when(extracted != "", extracted).otherwise(col)
 
 
+def normalize_url(col: Column) -> Column:
+    """Canonicalize a URL into a dedup identity key — the web analog of the
+    reference's path/message-id normalizers (ref mail.py:176-193, 596-619):
+    near-identical locators must collapse to one key before URL-level dedup.
+
+    Steps (regexp chain, order matters; RE2-compatible — no lookaround — so
+    the DuckDB oracle replays it exactly):
+      1. strip the fragment (#...)
+      2. lowercase scheme + authority (path/query case is significant)
+      3. drop default ports :80/:443
+      4. drop tracking params (utm_*, fbclid, gclid) and tidy separators
+      5. strip a trailing '?'/'&', then a trailing '/'
+    """
+    no_frag = F.regexp_replace(col, "#.*$", "")
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+    )
+    no_port = F.regexp_replace(
+        F.regexp_replace(lowered, ":(80|443)/", "/"), ":(80|443)$", "")
+    no_track = F.regexp_replace(
+        no_port, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    tidy = F.regexp_replace(no_track, "[?&]$", "")
+    return F.regexp_replace(tidy, "/$", "")
+
+
 def raw_text_hash(text: Column, bits: int = 256) -> Column:
     """SHA-2 of the raw text — ref ``hash_raw_body`` (mail.py:423-429)."""
     return F.sha2(text, bits)

@@ -102,3 +102,17 @@ def test_metadata_hash_skip_mode(spark):
            df.select("url", content_hash_expr(cfg).alias("h")).collect()}
     assert got["u/a"] == got["u/b"]  # same metadata tuple, bodies differ
     assert got["u/a"] != got["u/c"]  # lang differs
+
+
+@pytest.mark.parametrize("raw,expected", [
+    ("HTTP://Example.COM:80/a/b?utm_source=x&id=5#frag",
+     "http://example.com/a/b?id=5"),
+    ("https://Host.org:443/path/?utm_campaign=a&utm_medium=b",
+     "https://host.org/path"),
+    ("http://h/x?fbclid=abc", "http://h/x"),
+    ("http://h/x?id=1&gclid=z", "http://h/x?id=1"),
+    ("http://h/", "http://h"),
+    ("relative/path/#f", "relative/path"),
+])
+def test_normalize_url(spark, raw, expected):
+    assert one(spark, N.normalize_url(F.col("v")), raw) == expected
