@@ -542,12 +542,15 @@ def _q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (textstats.py) — rows-only check."""
+    """Winnowing fingerprints (textstats.py, SIGMOD'03), exploded to
+    (url, fp) rows. Fully oracle-checked: the DuckDB side replays the rolling
+    polynomial hash (base 1000003 over codepoints, mod 2^64 in HUGEINT),
+    the window-4 minima, dedup, and the int64 two's-complement view."""
     from pysparkdedup.textstats import winnowing_fingerprints
 
     pages = _docs_as_pages(spark, sf_dir)
     return winnowing_fingerprints(pages).select(
-        "url", F.size(F.coalesce("fingerprints", F.array())).alias("n_fp"))
+        "url", F.explode("fingerprints").alias("fp"))
 
 
 def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,12 +644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _q_lang_id_docs,
         "containment_pairs_docs": _q_containment_pairs_docs,
         "checkpoint_resume_docs": _q_checkpoint_resume_docs,
+        "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
         # rows-only (non-SQL-expressible: iterative greedy eviction,
-        # MinHash/SimHash signatures, union-find, winnowing, sign-LSH)
+        # MinHash/SimHash signatures, union-find, sign-LSH)
         "guards_eviction_docs": _q_guards_eviction_docs,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
         "simhash_sigs_docs": _q_simhash_sigs_docs,
-        "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
     }
@@ -967,6 +970,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::VARCHAR AS url,
                    sha256(regexp_replace(text, '\s', '', 'g')) AS content_hash
             FROM documents
+        """,
+        "winnow_fingerprints_docs": r"""
+            WITH codes AS (
+                SELECT doc_id::VARCHAR AS url,
+                       list_transform(
+                           regexp_extract_all(lower(coalesce(text, '')), '(?s).'),
+                           c -> unicode(c)::HUGEINT) AS cs
+                FROM documents
+            ), hashes AS (
+                -- rolling k=8 polynomial hash, base 1000003, mod 2^64
+                SELECT url,
+                       [ ((((((((((((((cs[i]*1000003 + cs[i+1])
+                           % 18446744073709551616)*1000003 + cs[i+2])
+                           % 18446744073709551616)*1000003 + cs[i+3])
+                           % 18446744073709551616)*1000003 + cs[i+4])
+                           % 18446744073709551616)*1000003 + cs[i+5])
+                           % 18446744073709551616)*1000003 + cs[i+6])
+                           % 18446744073709551616)*1000003 + cs[i+7])
+                           % 18446744073709551616)
+                         for i in generate_series(1, len(cs) - 7) ] AS hs
+                FROM codes
+                WHERE len(cs) >= 8
+            ), mins AS (
+                -- window-4 sliding minima (kernel falls back to global min
+                -- when fewer than 4 hashes exist), deduplicated
+                SELECT url,
+                       list_distinct([ list_aggregate(hs[j : j+3], 'min')
+                                       for j in generate_series(1, greatest(len(hs)-3, 1)) ]) AS fps
+                FROM hashes
+            )
+            SELECT url,
+                   CASE WHEN fp >= 9223372036854775808
+                        THEN fp - 18446744073709551616
+                        ELSE fp END::BIGINT AS fp
+            FROM (SELECT url, unnest(fps) AS fp FROM mins)
         """,
         "embedding_top1_exact": """
             WITH q AS (
