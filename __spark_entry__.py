@@ -522,8 +522,26 @@ def _q_minhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_clusters(pages, DedupConfig())
 
 
+def _q_minhash_sigs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (minhash.py) exploded to (url, pos, sig) — fully
+    oracle-checked: DuckDB replays the token-hash kernel, the k=5 shingle
+    combiner into the Mersenne-31 field, and every permutation's min with the
+    seeded (a, b) params embedded as literals (see _minhash_oracle_sql)."""
+    from pysparkdedup.minhash import minhash_signatures
+
+    pages = _docs_as_pages(spark, sf_dir)
+    sigs = minhash_signatures(pages, DedupConfig())
+    return sigs.filter(F.col("minhash").isNotNull()).select(
+        "url", F.posexplode("minhash").alias("pos", "sig"))
+
+
 def _q_simhash_sigs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (simhash.py) — rows-only check."""
+    """SimHash signatures (simhash.py) — fully oracle-checked: the DuckDB
+    side replays the byte-LUT tokenizer (ASCII corpus), the FNV-prime
+    polynomial token hash with length fold, the murmur fmix64 avalanche
+    (mod-2^64 multiplies via 32-bit splits in HUGEINT, xor via signed view),
+    the per-bit occurrence votes, and the little-endian packing into a
+    two's-complement long."""
     from pysparkdedup.simhash import simhash_signatures
 
     pages = _docs_as_pages(spark, sf_dir)
@@ -645,14 +663,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_docs": _q_containment_pairs_docs,
         "checkpoint_resume_docs": _q_checkpoint_resume_docs,
         "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
-        # rows-only (non-SQL-expressible: iterative greedy eviction,
-        # MinHash/SimHash signatures, union-find, sign-LSH)
+        "minhash_sigs_docs": _q_minhash_sigs_docs,
+        "simhash_sigs_docs": _q_simhash_sigs_docs,
+        # rows-only (iterative greedy eviction, union-find fixpoints,
+        # RNG-hyperplane sign-LSH)
         "guards_eviction_docs": _q_guards_eviction_docs,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
-        "simhash_sigs_docs": _q_simhash_sigs_docs,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
     }
+
+
+# --- uint64-in-HUGEINT SQL fragments (shared by the kernel oracles) ---------
+# DuckDB has no wrapping uint64: multiply mod 2^64 via 32-bit split (a 64x64
+# product overflows HUGEINT), xor via the signed-BIGINT view, logical right
+# shift as integer division.
+_M64 = 2**64
+_H64 = 2**63
+_FNV = 1099511628211  # FNV64 prime (tokenhash._B, minhash._POLY_BASE)
+_K1 = 0xFF51AFD7ED558CCD  # murmur fmix64 constants (tokenhash._avalanche)
+_K2 = 0xC4CEB9FE1A85EC53
+
+
+def _mul64(a: str, k: int) -> str:
+    return (f"((({a}) % 4294967296) * {k} "
+            f"+ (((({a}) // 4294967296) * {k}) % 4294967296) "
+            f"* 4294967296) % {_M64}")
+
+
+def _xor64(a: str, b: str) -> str:
+    sa = f"(CASE WHEN ({a}) >= {_H64} THEN ({a}) - {_M64} ELSE ({a}) END::BIGINT)"
+    sb = f"(CASE WHEN ({b}) >= {_H64} THEN ({b}) - {_M64} ELSE ({b}) END::BIGINT)"
+    x = f"xor({sa}, {sb})"
+    return f"(CASE WHEN {x} < 0 THEN {x}::HUGEINT + {_M64} ELSE {x}::HUGEINT END)"
+
+
+# token hash = fmix64(poly(first-24-bytes) ^ min(len,24)) — tokenhash.py
+_TOKHASH_POLY = (
+    "list_reduce(list_prepend(0::HUGEINT, "
+    "list_transform(regexp_extract_all(substring(t, 1, 24), '(?s).'), "
+    f"c -> unicode(c)::HUGEINT)), (acc, c) -> (acc * {_FNV} + c) % {_M64})"
+)
+_SHR33 = "(x // 8589934592)"  # logical >> 33 on the unsigned value
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of tokenhash.batch_token_hashes + simhash vote packing:
+    FNV polynomial token hash with length fold, fmix64 avalanche, per-bit
+    occurrence votes, little-endian packing, two's-complement long."""
+    M, H, B, K1, K2 = _M64, _H64, _FNV, _K1, _K2
+    mul64, xor64, shr33 = _mul64, _xor64, _SHR33
+    return f"""
+        WITH tok AS (
+            SELECT doc_id::VARCHAR AS url,
+                   unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^0-9a-z_]+'),
+                       t -> t != '')) AS t
+            FROM documents
+        ), poly AS (
+            SELECT url,
+                   list_reduce(list_prepend(0::HUGEINT,
+                       list_transform(regexp_extract_all(substring(t, 1, 24),
+                                                         '(?s).'),
+                                      c -> unicode(c)::HUGEINT)),
+                       (acc, c) -> (acc * {B} + c) % {M}) AS p,
+                   least(length(t), 24)::HUGEINT AS lw
+            FROM tok
+        ), s0 AS ( SELECT url, {xor64('p', 'lw')} AS x FROM poly
+        ), s1 AS ( SELECT url, {xor64('x', shr33)} AS x FROM s0
+        ), s2 AS ( SELECT url, {mul64('x', K1)} AS x FROM s1
+        ), s3 AS ( SELECT url, {xor64('x', shr33)} AS x FROM s2
+        ), s4 AS ( SELECT url, {mul64('x', K2)} AS x FROM s3
+        ), h AS ( SELECT url, {xor64('x', shr33)} AS h FROM s4
+        ), bitcnt AS (
+            SELECT url, j,
+                   sum(((h // (1::HUGEINT << j)) % 2)::BIGINT) AS cnt,
+                   count(*) AS n
+            FROM h, unnest(generate_series(0, 63)) AS bit(j)
+            GROUP BY url, j
+        ), packed AS (
+            SELECT url,
+                   sum(CASE WHEN 2 * cnt > n THEN (1::HUGEINT << j)
+                            ELSE 0::HUGEINT END) AS u
+            FROM bitcnt GROUP BY url
+        )
+        SELECT d.doc_id::VARCHAR AS url,
+               CASE WHEN u IS NULL THEN NULL
+                    WHEN u >= {H} THEN (u - {M})::BIGINT
+                    ELSE u::BIGINT END AS simhash
+        FROM documents d LEFT JOIN packed ON packed.url = d.doc_id::VARCHAR
+    """
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of minhash signatures: token hashes (as simhash), k=5
+    shingle combiner (FNV poly mod 2^64, masked to the Mersenne-31 field),
+    then per-permutation min of (a*s + b) mod 2^31-1 with the ACTUAL seeded
+    permutation params embedded as literals (minhash._perm_params, seed from
+    DedupConfig) — the signature values themselves are hash-checked."""
+    from pysparkdedup.minhash import _perm_params
+
+    cfg = DedupConfig()
+    a_p, b_p = _perm_params(cfg)
+    M, B, K1, K2 = _M64, _FNV, _K1, _K2
+    P31 = 2147483647
+    perm_rows = ", ".join(
+        f"({j}, {int(a_p[j])}, {int(b_p[j])})" for j in range(cfg.num_perm))
+    poly5 = (f"((((((((hs[i]*{B} + hs[i+1]) % {M})*{B} + hs[i+2]) % {M})*{B}"
+             f" + hs[i+3]) % {M})*{B} + hs[i+4]) % {M})")
+    return f"""
+        WITH tokl AS (
+            SELECT doc_id::VARCHAR AS url,
+                   list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^0-9a-z_]+'),
+                       t -> t != '') AS toks
+            FROM documents
+        ), h0 AS (
+            SELECT url, list_transform(toks,
+                t -> {_xor64(_TOKHASH_POLY, "least(length(t), 24)::HUGEINT")}
+            ) AS hs FROM tokl
+        ), h1 AS ( SELECT url, list_transform(hs, x -> {_xor64('x', _SHR33)}) AS hs FROM h0
+        ), h2 AS ( SELECT url, list_transform(hs, x -> {_mul64('x', K1)}) AS hs FROM h1
+        ), h3 AS ( SELECT url, list_transform(hs, x -> {_xor64('x', _SHR33)}) AS hs FROM h2
+        ), h4 AS ( SELECT url, list_transform(hs, x -> {_mul64('x', K2)}) AS hs FROM h3
+        ), h5 AS ( SELECT url, list_transform(hs, x -> {_xor64('x', _SHR33)}) AS hs FROM h4
+        ), shs AS (
+            SELECT url,
+                   [ {poly5} % {P31} for i in generate_series(1, len(hs) - 4) ] AS shl
+            FROM h5 WHERE len(hs) >= 5
+        ), e AS ( SELECT url, unnest(shl) AS s FROM shs
+        ), perms(j, a, b) AS ( VALUES {perm_rows} )
+        SELECT e.url, p.j AS pos,
+               min((p.a * s::BIGINT + p.b) % {P31})::INT AS sig
+        FROM e, perms p GROUP BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -971,6 +1115,8 @@ def oracle_sql() -> dict[str, str]:
                    sha256(regexp_replace(text, '\s', '', 'g')) AS content_hash
             FROM documents
         """,
+        "simhash_sigs_docs": _simhash_oracle_sql(),
+        "minhash_sigs_docs": _minhash_oracle_sql(),
         "winnow_fingerprints_docs": r"""
             WITH codes AS (
                 SELECT doc_id::VARCHAR AS url,
