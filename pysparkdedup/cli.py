@@ -129,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
             sigs.show(20, truncate=60)
             return 0
 
-        if args.checkpoint and args.mode in ("exact", "minhash"):
+        if args.checkpoint and args.mode in ("exact", "minhash", "simhash"):
             from .pipeline import run_incremental
 
             final = run_incremental(pages, cfg, args.checkpoint,

@@ -152,6 +152,117 @@ def extract_features(df: DataFrame, payload_col: str = "html",
     return df.select("url", payload_col).mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("src_width", T.IntegerType(), True),
+    T.StructField("src_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("resized", T.BinaryType(), True),
+])
+
+
+def resize_images(df: DataFrame, payload_col: str = "html",
+                  width: int = 64, height: int = 64,
+                  fake_decode: bool = True) -> DataFrame:
+    """Resize each image payload to (width, height) — Arrow-batched.
+
+    Real parts: header parsing for source dimensions (parse_image_header),
+    schema, batch shape. The pixel resampling kernel is a STUB (no codec libs
+    in this container): ``fake_decode=True`` emits a deterministic fake
+    bitmap (width*height bytes derived from the payload digest) so
+    downstream plumbing (size accounting, exact dedup of resized payloads)
+    is testable; ``fake_decode=False`` raises where a real resampler
+    (PIL/opencv) would run."""
+
+    def _resample(payload: bytes) -> bytes:
+        if not fake_decode:
+            raise NotImplementedError(
+                "image resampling needs a codec library; run with "
+                "fake_decode=True or plug a real resizer")
+        digest = hashlib.blake2b(payload + bytes([width, height])).digest()
+        reps = (width * height) // len(digest) + 1
+        return (digest * reps)[: width * height]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": pdf["url"], "src_width": [], "src_height": [],
+                    "width": [], "height": [], "resized": []}
+            for payload in pdf[payload_col].tolist():
+                if payload is None:
+                    for k in ("src_width", "src_height", "width", "height",
+                              "resized"):
+                        rows[k].append(None)
+                    continue
+                b = bytes(payload)
+                _, sw, sh = parse_image_header(b)
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["resized"].append(_resample(b))
+            yield pd.DataFrame({
+                "url": rows["url"],
+                "src_width": pd.array(rows["src_width"], dtype="Int32"),
+                "src_height": pd.array(rows["src_height"], dtype="Int32"),
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "resized": rows["resized"],
+            })
+
+    return df.select("url", payload_col).mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_ms", T.LongType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, payload_col: str = "html",
+                  n_frames: int = 4, duration_ms: int = 10_000,
+                  fake_decode: bool = True) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames from each video payload —
+    one output row per (url, frame_idx), the fan-out shape a real
+    frame-sampling stage has. The demuxer/decoder is a STUB: frames are
+    deterministic payload-digest slices under ``fake_decode=True``, and
+    ``fake_decode=False`` raises where ffmpeg would run. Timestamps are the
+    even grid over ``duration_ms`` (a real demuxer would read the container
+    duration)."""
+
+    def _frame(payload: bytes, idx: int) -> bytes:
+        if not fake_decode:
+            raise NotImplementedError(
+                "video decoding needs ffmpeg; run with fake_decode=True or "
+                "plug a real demuxer")
+        return hashlib.blake2b(payload, digest_size=32,
+                               salt=idx.to_bytes(8, "big")).digest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, tss, frames = [], [], [], []
+            for url, payload in zip(pdf["url"].tolist(),
+                                    pdf[payload_col].tolist()):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                for i in range(n_frames):
+                    urls.append(url)
+                    idxs.append(i)
+                    tss.append(i * duration_ms // max(n_frames, 1))
+                    frames.append(_frame(b, i))
+            yield pd.DataFrame({
+                "url": urls,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_ms": pd.array(tss, dtype="int64"),
+                "frame": frames,
+            })
+
+    return df.select("url", payload_col).mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
 def exact_binary_dedup(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Exact media dedup: group by payload sha2 — the binary analog of the
     text content-hash groupBy."""

@@ -137,6 +137,10 @@ def run_incremental(pages: DataFrame, cfg: DedupConfig, checkpoint_path: str,
         from .minhash import minhash_clusters
 
         clusters = minhash_clusters(pages, cfg, sigs=sigs)
+    elif mode == "simhash":
+        from .simhash import simhash_clusters
+
+        clusters = simhash_clusters(pages, cfg, sigs=sigs)
     else:
         raise ValueError(f"unknown incremental mode: {mode!r}")
     return run_clustered(pages, cfg, clusters)

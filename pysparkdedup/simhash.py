@@ -97,12 +97,17 @@ def simhash_blocks(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def simhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+def simhash_edges(pages: DataFrame, cfg: DedupConfig,
+                  sigs: DataFrame | None = None) -> DataFrame:
     """Verified (a, b, hamming) edges with hamming <= threshold. Signatures
-    persisted: they feed blocking AND both verify-join sides."""
+    persisted: they feed blocking AND both verify-join sides. Pass ``sigs``
+    (url, simhash) to reuse checkpointed signatures (checkpoint.py) instead
+    of recomputing — the resume path."""
     from pyspark import StorageLevel
 
-    sigs = simhash_signatures(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    if sigs is None:
+        sigs = simhash_signatures(pages)
+    sigs = sigs.select("url", "simhash").persist(StorageLevel.MEMORY_AND_DISK)
     blocks = simhash_blocks(sigs, cfg)
     pairs = bucket_pairs(
         blocks, ["block_id", "block_val"], id_col="url", cap=cfg.max_bucket_size
@@ -119,6 +124,8 @@ def simhash_edges(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def simhash_clusters(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+def simhash_clusters(pages: DataFrame, cfg: DedupConfig,
+                     sigs: DataFrame | None = None) -> DataFrame:
     """(url, cluster_key) for SimHash components — feed pipeline.run_clustered."""
-    return connected_components(simhash_edges(pages, cfg).select("a", "b"))
+    return connected_components(
+        simhash_edges(pages, cfg, sigs=sigs).select("a", "b"))

@@ -139,3 +139,26 @@ def test_same_length_edit_invalidates_stale_key(spark):
     ka = a.select(stale_key_col().alias("k")).first()["k"]
     kb = b.select(stale_key_col().alias("k")).first()["k"]
     assert ka != kb
+
+
+def test_incremental_simhash_equals_fresh(spark, tmp_path):
+    """run_incremental(mode='simhash') reuses checkpointed simhash signatures
+    and matches a fresh simhash-clustered run, cold and warm."""
+    from pysparkdedup.corpus import pages_and_truth
+    from pysparkdedup.pipeline import run_clustered, run_incremental
+    from pysparkdedup.simhash import simhash_clusters
+
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    pages, _ = pages_and_truth(spark, 400)
+    path = str(tmp_path / "ckpt")
+
+    def snap(final):
+        return sorted(
+            (r["url"], r["status"])
+            for r in final.select("url", "status").collect())
+
+    fresh = snap(run_clustered(pages, cfg, simhash_clusters(pages, cfg)))
+    cold = snap(run_incremental(pages, cfg, path, mode="simhash"))
+    warm = snap(run_incremental(pages, cfg, path, mode="simhash"))
+    assert cold == fresh
+    assert warm == fresh

@@ -92,3 +92,50 @@ def test_with_media_meta_real_dimensions(spark):
     assert (got["u/png"]["width"], got["u/png"]["height"]) == (64, 32)
     assert got["u/opaque"]["mime"] == "application/octet-stream"
     assert got["u/opaque"]["width"] is None
+
+
+def test_resize_images_plumbing(spark):
+    """Resize plumbing: real header-derived source dims + deterministic fake
+    bitmap of exactly width*height bytes; duplicate payloads resize
+    identically (so resized payloads dedup exactly)."""
+    import struct
+
+    from pysparkdedup.multimodal import resize_images
+    from tests.conftest import PAGES_SCHEMA
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    rows = [("u/a", ts(0), png, "x", "en"),
+            ("u/b", ts(1), png, "x", "en"),
+            ("u/null", ts(2), None, "x", "en")]
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    got = {r["url"]: r for r in resize_images(df, width=8, height=4).collect()}
+    assert (got["u/a"]["src_width"], got["u/a"]["src_height"]) == (640, 480)
+    assert len(bytes(got["u/a"]["resized"])) == 8 * 4
+    assert bytes(got["u/a"]["resized"]) == bytes(got["u/b"]["resized"])
+    assert got["u/null"]["resized"] is None
+
+
+def test_resize_real_decode_is_gated(pages_factory):
+    from pysparkdedup.multimodal import resize_images
+
+    df = pages_factory([("u/a", ts(0), "payload", "en")])
+    with pytest.raises(Exception):
+        resize_images(df, fake_decode=False).collect()
+
+
+def test_sample_frames_plumbing(pages_factory):
+    """Frame sampling fans out one row per (url, frame_idx) on an even
+    timestamp grid; frames are deterministic per (payload, idx)."""
+    from pysparkdedup.multimodal import sample_frames
+
+    df = pages_factory([("u/v1", ts(0), "video-bytes", "en"),
+                        ("u/v2", ts(1), "video-bytes", "en")])
+    rows = sample_frames(df, n_frames=4, duration_ms=8000).collect()
+    assert len(rows) == 8
+    v1 = sorted((r["frame_idx"], r["frame_ms"]) for r in rows
+                if r["url"] == "u/v1")
+    assert v1 == [(0, 0), (1, 2000), (2, 4000), (3, 6000)]
+    by_key = {(r["url"], r["frame_idx"]): bytes(r["frame"]) for r in rows}
+    assert by_key[("u/v1", 0)] == by_key[("u/v2", 0)]  # same payload
+    assert by_key[("u/v1", 0)] != by_key[("u/v1", 1)]  # distinct frames
