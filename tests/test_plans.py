@@ -77,3 +77,34 @@ def test_hot_bucket_broadcast(spark):
         [("k", f"u{i}") for i in range(10)], "bkey string, url string")
     plan = plan_of(bucket_pairs(df, ["bkey"], cap=3))
     assert "BroadcastExchange" in plan
+
+
+def test_containment_no_cartesian(spark, pages_factory):
+    """containment_edges candidates come from the anchor equi-join — the plan
+    must contain no cartesian/nested-loop join in either verify mode."""
+    from pysparkdedup.suffix import containment_edges
+    from tests.conftest import ts
+
+    df = pages_factory([
+        ("u/a", ts(0), "alpha beta gamma delta epsilon", "en"),
+        ("u/b", ts(1), "zero alpha beta gamma delta epsilon omega", "en"),
+    ])
+    for mode in ("raw", "token"):
+        plan = plan_of(containment_edges(df, DedupConfig(), verify=mode))
+        assert "CartesianProduct" not in plan, mode
+        assert "BroadcastNestedLoopJoin" not in plan, mode
+
+
+def test_ngram_posting_join_is_hash_join(spark, pages_factory):
+    """jaccard_edges' inverted-index self-join must be a shuffle/broadcast
+    hash equi-join on the shingle key, never a nested loop."""
+    from pysparkdedup.ngram import jaccard_edges
+    from tests.conftest import ts
+
+    df = pages_factory([
+        ("u/a", ts(0), "one two three four five six", "en"),
+        ("u/b", ts(1), "one two three four five seven", "en"),
+    ])
+    plan = plan_of(jaccard_edges(df, k=5, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
