@@ -1061,19 +1061,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM nofrag
             ), noport AS (
                 SELECT doc_id,
-                       regexp_replace(regexp_replace(u, ':(80|443)/', '/'),
-                                      ':(80|443)$', '') AS u
+                       regexp_replace(u,
+                           '^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)',
+                           '\1\3') AS u
                 FROM lowered
             ), notrack AS (
                 SELECT doc_id,
                        regexp_replace(u,
-                           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+                           '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*',
+                           '\1', 'g') AS u
                 FROM noport
+            ), tidy AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(u, '&&+', '&', 'g'),
+                                      '\?&', '?') AS u
+                FROM notrack
             )
             SELECT doc_id,
                    regexp_replace(regexp_replace(u, '[?&]$', ''), '/$', '')
                    AS canon_url
-            FROM notrack
+            FROM tidy
         """,
         "lang_id_docs": rf"""
             WITH tok AS (

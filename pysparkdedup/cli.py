@@ -79,29 +79,55 @@ def load_config_file(path: str) -> dict:
     return {k.replace("-", "_"): v for k, v in table.items()}
 
 
-def _merge_config(args: argparse.Namespace,
-                  parser: argparse.ArgumentParser) -> argparse.Namespace:
-    """File values fill in only options the command line left at default —
-    the reference's precedence (CLI > config file > defaults)."""
+def _merge_config(args: argparse.Namespace, parser: argparse.ArgumentParser,
+                  argv: list[str] | None) -> argparse.Namespace:
+    """File values fill in only options NOT given on the command line —
+    the reference's precedence (CLI > config file > defaults).
+
+    'Given on the command line' is detected by re-parsing with suppressed
+    defaults (an explicit flag set to its default value still wins over the
+    file). File values pass through the option's argparse type/choices so a
+    mistyped TOML value fails at parse time, not deep in the pipeline."""
     if not args.config:
         return args
     file_vals = load_config_file(args.config)
-    defaults = {a.dest: a.default for a in parser._actions}
+    actions = {a.dest: a for a in parser._actions}
+    saved = [(a, a.default) for a in parser._actions]
+    try:
+        for a in parser._actions:
+            a.default = argparse.SUPPRESS
+        provided = set(vars(parser.parse_args(argv)))
+    finally:
+        for a, d in saved:
+            a.default = d
     for key, value in file_vals.items():
-        if key == "strategy" and isinstance(value, (list, tuple)):
-            if not args.strategy:
-                args.strategy = list(value)
-            continue
-        if not hasattr(args, key):
+        act = actions.get(key)
+        if act is None:
             raise ValueError(f"config file: unknown option {key!r}")
-        if getattr(args, key) == defaults.get(key):
-            setattr(args, key, value)
+        if key in provided:
+            continue  # CLI wins
+        if key == "strategy":
+            if isinstance(value, str):
+                value = [value]
+            value = list(value)
+            bad = [v for v in value if v not in (act.choices or ())]
+            if bad:
+                raise ValueError(f"config file: unknown strategy {bad!r}")
+            args.strategy = value
+            continue
+        if act.type is not None and value is not None:
+            value = act.type(value)
+        if act.choices is not None and value not in act.choices:
+            raise ValueError(
+                f"config file: {key!r} must be one of {list(act.choices)}, "
+                f"got {value!r}")
+        setattr(args, key, value)
     return args
 
 
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
-    args = _merge_config(parser.parse_args(argv), parser)
+    args = _merge_config(parser.parse_args(argv), parser, argv)
     strategies = tuple(args.strategy) or ("select-newest",)
     cfg = DedupConfig(
         strategies=strategies,

@@ -42,6 +42,9 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     real cluster; the default stays local for single-JVM runs where it is
     both safe and cheaper."""
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
     def materialize(df: DataFrame) -> DataFrame:
         if reliable:
             return df.checkpoint(eager=True)

@@ -49,6 +49,8 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
+            if w > 0x7FFFFFFF or h > 0x7FFFFFFF:  # corrupt: uint32 overflows
+                return "image/png", None, None    # the int32 metadata fields
             return "image/png", w, h
         return "image/png", None, None
     # GIF: 'GIF87a'/'GIF89a', then little-endian W,H at offsets 6/8.
@@ -87,29 +89,31 @@ def with_media_meta(df: DataFrame, payload_col: str = "html",
     """Attach a typed metadata struct to an opaque binary column, with mime
     and dimensions parsed from real container headers when recognized
     (``parse_image_header``); ``mime`` is the fallback for unrecognized
-    payloads. Arrow-batched; per-row work is bounded header walking."""
-    meta_schema = T.StructType(
-        [T.StructField("url", T.StringType(), False)]
-        + [T.StructField("media_meta", MEDIA_META_SCHEMA, True)]
-    )
+    payloads. A scalar Arrow-batched UDF over the payload column — row-for-row
+    (no join, no shuffle, duplicate/null urls unaffected); per-row work is
+    bounded header walking."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = []
-            for payload in pdf[payload_col].tolist():
-                b = bytes(payload) if payload is not None else None
-                sniffed, w, h = parse_image_header(b)
-                metas.append({
-                    "media_type": media_type,
-                    "mime": sniffed or mime,
-                    "width": w,
-                    "height": h,
-                    "duration_ms": None,
-                })
-            yield pd.DataFrame({"url": pdf["url"], "media_meta": metas})
+    @F.pandas_udf(MEDIA_META_SCHEMA)
+    def meta_of(payloads: pd.Series) -> pd.DataFrame:
+        rows = {"media_type": [], "mime": [], "width": [], "height": [],
+                "duration_ms": []}
+        for payload in payloads.tolist():
+            b = bytes(payload) if payload is not None else None
+            sniffed, w, h = parse_image_header(b)
+            rows["media_type"].append(media_type)
+            rows["mime"].append(sniffed or mime)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(None)
+        return pd.DataFrame({
+            "media_type": rows["media_type"],
+            "mime": rows["mime"],
+            "width": pd.array(rows["width"], dtype="Int32"),
+            "height": pd.array(rows["height"], dtype="Int32"),
+            "duration_ms": pd.array(rows["duration_ms"], dtype="Int64"),
+        })
 
-    meta = df.select("url", payload_col).mapInPandas(run, schema=meta_schema)
-    return df.join(meta, "url", "left")
+    return df.withColumn("media_meta", meta_of(F.col(payload_col)))
 
 
 def extract_features(df: DataFrame, payload_col: str = "html",
@@ -180,7 +184,9 @@ def resize_images(df: DataFrame, payload_col: str = "html",
             raise NotImplementedError(
                 "image resampling needs a codec library; run with "
                 "fake_decode=True or plug a real resizer")
-        digest = hashlib.blake2b(payload + bytes([width, height])).digest()
+        digest = hashlib.blake2b(
+            payload + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ).digest()
         reps = (width * height) // len(digest) + 1
         return (digest * reps)[: width * height]
 

@@ -93,8 +93,11 @@ def normalize_url(col: Column) -> Column:
     the DuckDB oracle replays it exactly):
       1. strip the fragment (#...)
       2. lowercase scheme + authority (path/query case is significant)
-      3. drop default ports :80/:443
-      4. drop tracking params (utm_*, fbclid, gclid) and tidy separators
+      3. drop a default port :80/:443 — anchored to the authority only, so a
+         ':80' inside a path or query is never touched
+      4. drop tracking params (utm_*, fbclid, gclid) — anchored to a
+         preceding '?'/'&', so longer param names (myfbclid=…) survive —
+         keeping the separator, then tidy '&&'/'?&' runs
       5. strip a trailing '?'/'&', then a trailing '/'
     """
     no_frag = F.regexp_replace(col, "#.*$", "")
@@ -103,10 +106,12 @@ def normalize_url(col: Column) -> Column:
         F.regexp_replace(no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
     )
     no_port = F.regexp_replace(
-        F.regexp_replace(lowered, ":(80|443)/", "/"), ":(80|443)$", "")
+        lowered, "^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)", "$1$3")
     no_track = F.regexp_replace(
-        no_port, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
-    tidy = F.regexp_replace(no_track, "[?&]$", "")
+        no_port, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    tidy = F.regexp_replace(
+        F.regexp_replace(no_track, "&&+", "&"), r"\?&", "?")
+    tidy = F.regexp_replace(tidy, "[?&]$", "")
     return F.regexp_replace(tidy, "/$", "")
 
 

@@ -88,13 +88,15 @@ def partition_substring_dedup(df: DataFrame, text_col: str = "text",
     partitions is out of scope by design (repartition on a content-derived
     key first to co-locate candidates).
 
-    Recall within a partition is total: a match never straddles the '\\x00'
-    separator (texts can't contain it), so every SA hit lies wholly inside one
-    doc — any hit owned by another doc IS a container, and a doc's own full
-    text matches itself at exactly one position. The scan therefore finds an
-    owner within the first two matching SA entries; ``scan_cap`` is a pure
-    safety bound, and hitting it is counted in ``truncation_acc`` (a Spark
-    accumulator, pass ``sc.accumulator(0)``) — no silent truncation.
+    Recall within a partition: for NUL-free texts a match never straddles the
+    '\\x00' separator, so the first matching SA entry owned by another doc and
+    ending inside it IS a container, and a doc's own full text matches itself
+    at exactly one position — an owner is found within the first couple of
+    matching entries. Texts CONTAINING NUL can match across separators; the
+    span check rejects those hits (they are not real containments) and they
+    consume scan budget. ``scan_cap`` bounds that walk; hitting it is counted
+    in ``truncation_acc`` (a Spark accumulator, pass ``sc.accumulator(0)``) —
+    no silent truncation.
     """
 
     def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,8 +113,9 @@ def partition_substring_dedup(df: DataFrame, text_col: str = "text",
         # offset -> owning doc spans
         starts = np.zeros(len(texts), dtype=np.int64)
         np.cumsum([len(t) + 1 for t in texts[:-1]], out=starts[1:])
+        ends = starts + np.array([len(t) for t in texts], dtype=np.int64)
         out_urls, out_in = [], []
-        scan_cap = 64  # safety bound only (see docstring); counted if hit
+        scan_cap = 64  # bounds the walk over rejected hits (see docstring)
         for idx in range(len(texts)):
             text = texts[idx]
             if len(text) < min_chars:
@@ -124,11 +127,13 @@ def partition_substring_dedup(df: DataFrame, text_col: str = "text",
                 if hay[pos : pos + len(text)] != text:
                     break  # left the matching SA range
                 doc_i = int(np.searchsorted(starts, pos, side="right") - 1)
-                if doc_i != idx:
-                    # Match can't cross a separator => fully inside doc_i.
+                # The span check rejects separator-crossing matches (possible
+                # only when `text` itself contains NUL) — those are NOT real
+                # containments in any single document.
+                if doc_i != idx and pos + len(text) <= ends[doc_i]:
                     owner = urls[doc_i]
                     break
-                if j - lo + 1 >= scan_cap:  # unreachable per docstring proof
+                if j - lo + 1 >= scan_cap:
                     if truncation_acc is not None:
                         truncation_acc.add(1)
                     break

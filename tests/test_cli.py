@@ -60,16 +60,16 @@ def test_config_file_layer(tmp_path):
         'strategy = ["select-oldest", "select-one"]\n'
     )
     parser = build_parser()
-    args = _merge_config(parser.parse_args(
-        ["--input", "x", "--config", str(cfg_file)]), parser)
+    argv = ["--input", "x", "--config", str(cfg_file)]
+    args = _merge_config(parser.parse_args(argv), parser, argv)
     assert args.size_threshold == 99
     assert args.hash_body == "raw"
     assert args.strategy == ["select-oldest", "select-one"]
 
     # CLI overrides file
-    args = _merge_config(parser.parse_args(
-        ["--input", "x", "--config", str(cfg_file),
-         "--size-threshold", "7", "--strategy", "select-newest"]), parser)
+    argv = ["--input", "x", "--config", str(cfg_file),
+            "--size-threshold", "7", "--strategy", "select-newest"]
+    args = _merge_config(parser.parse_args(argv), parser, argv)
     assert args.size_threshold == 7
     assert args.strategy == ["select-newest"]
 
@@ -80,6 +80,40 @@ def test_config_file_unknown_key(tmp_path):
     cfg_file = tmp_path / "bad.toml"
     cfg_file.write_text("unknown-option = 1\n")
     parser = build_parser()
+    argv = ["--input", "x", "--config", str(cfg_file)]
     with pytest.raises(ValueError, match="unknown option"):
+        _merge_config(parser.parse_args(argv), parser, argv)
+
+
+def test_config_file_explicit_default_wins(tmp_path):
+    """An explicit CLI flag set to its default value still beats the config
+    file (code-review r2: default-value sentinel can't detect intent)."""
+    from pysparkdedup.cli import _merge_config, build_parser
+
+    cfg_file = tmp_path / "dedup.toml"
+    cfg_file.write_text('[pysparkdedup]\nhash-body = "raw"\n')
+    parser = build_parser()
+    argv = ["--input", "x", "--config", str(cfg_file),
+            "--hash-body", "normalized"]  # explicit == default
+    args = _merge_config(parser.parse_args(argv), parser, argv)
+    assert args.hash_body == "normalized"
+
+
+def test_config_file_scalar_strategy_and_types(tmp_path):
+    from pysparkdedup.cli import _merge_config, build_parser
+
+    cfg_file = tmp_path / "dedup.toml"
+    cfg_file.write_text(
+        '[pysparkdedup]\nstrategy = "select-oldest"\nsize-threshold = "99"\n')
+    parser = build_parser()
+    argv = ["--input", "x", "--config", str(cfg_file)]
+    args = _merge_config(parser.parse_args(argv), parser, argv)
+    assert args.strategy == ["select-oldest"]
+    assert args.size_threshold == 99  # coerced through argparse type
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text('[pysparkdedup]\nstrategy = "select-everything"\n')
+    with pytest.raises(ValueError, match="unknown strategy"):
         _merge_config(parser.parse_args(
-            ["--input", "x", "--config", str(cfg_file)]), parser)
+            ["--input", "x", "--config", str(bad)]), parser,
+            ["--input", "x", "--config", str(bad)])

@@ -139,3 +139,40 @@ def test_sample_frames_plumbing(pages_factory):
     by_key = {(r["url"], r["frame_idx"]): bytes(r["frame"]) for r in rows}
     assert by_key[("u/v1", 0)] == by_key[("u/v2", 0)]  # same payload
     assert by_key[("u/v1", 0)] != by_key[("u/v1", 1)]  # distinct frames
+
+
+def test_parse_image_header_corrupt_dims_nulled():
+    """uint32 dims that overflow int32 metadata fields degrade to None
+    instead of crashing the batch (code-review r2)."""
+    import struct
+
+    from pysparkdedup.multimodal import parse_image_header
+
+    bad = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + b"\xff\xff\xff\xff" * 2 + b"\x08")
+    assert parse_image_header(bad) == ("image/png", None, None)
+
+
+def test_resize_large_target_dims(pages_factory):
+    """Targets > 255 must work (code-review r2: bytes([w,h]) ValueError)."""
+    from pysparkdedup.multimodal import resize_images
+
+    df = pages_factory([("u/a", ts(0), "payload", "en")])
+    row = resize_images(df, width=256, height=2).collect()[0]
+    assert len(bytes(row["resized"])) == 512
+
+
+def test_with_media_meta_duplicate_urls_row_for_row(spark):
+    """Duplicate urls (raw pre-dedup crawl input) must not multiply rows
+    (code-review r2: the old join-based implementation produced n^2)."""
+    from tests.conftest import PAGES_SCHEMA
+
+    rows = [("u/same", ts(0), b"x1", "a", "en"),
+            ("u/same", ts(1), b"x2", "b", "en")]
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    from pysparkdedup.multimodal import with_media_meta
+
+    out = with_media_meta(df)
+    assert out.count() == 2
+    assert all(r["media_meta"]["mime"] == "application/octet-stream"
+               for r in out.collect())

@@ -195,3 +195,13 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
            for r in connected_components(edges, reliable=True).collect()}
     assert got == {("a", "cc:a"), ("b", "cc:a"), ("c", "cc:a"),
                    ("x", "cc:x"), ("y", "cc:x")}
+
+
+def test_connected_components_rejects_bad_max_iter(spark):
+    import pytest
+
+    from pysparkdedup.components import connected_components
+
+    edges = spark.createDataFrame([("a", "b")], ["a", "b"])
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)

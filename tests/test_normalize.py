@@ -116,3 +116,18 @@ def test_metadata_hash_skip_mode(spark):
 ])
 def test_normalize_url(spark, raw, expected):
     assert one(spark, N.normalize_url(F.col("v")), raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", [
+    # ':80' in a path/query is NOT a port — must survive (code-review r2)
+    ("http://ex.com/a:80/b", "http://ex.com/a:80/b"),
+    ("http://ex.com/doc:443", "http://ex.com/doc:443"),
+    # port directly before the query
+    ("http://ex.com:80?q=1", "http://ex.com?q=1"),
+    # longer param names embedding a tracking name must survive
+    ("http://ex.com/p?myfbclid=2", "http://ex.com/p?myfbclid=2"),
+    # consecutive tracking params all removed, separators tidied
+    ("http://ex.com/p?utm_a=1&utm_b=2&id=3", "http://ex.com/p?id=3"),
+])
+def test_normalize_url_boundary_cases(spark, raw, expected):
+    assert one(spark, N.normalize_url(F.col("v")), raw) == expected

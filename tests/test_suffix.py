@@ -86,3 +86,19 @@ def test_containment_token_verify(pages_factory):
     raw = {(r["inner"], r["outer"]) for r in
            containment_edges(pages_factory(rows), cfg, verify="raw").collect()}
     assert raw == set()  # ws jitter breaks byte-level containment
+
+
+def test_nul_bearing_text_no_false_containment(pages_factory):
+    """A text containing NUL can match across the partition-concatenation
+    separator; the span check must reject that hit (code-review r2 finding:
+    without it the NUL doc is falsely 'contained' and deleted)."""
+    from pysparkdedup.suffix import partition_substring_dedup
+
+    p = "xxxxxxxxxxxxxxxxxxxA"
+    q = "Byyyyyyyyyyyyyyyyyyy"
+    nul_doc = p[-10:] + "\x00" + q[:10]  # exactly the cross-boundary bytes
+    rows = [("u/p", ts(0), p, "en"), ("u/q", ts(1), q, "en"),
+            ("u/nul", ts(2), nul_doc, "en")]
+    out = partition_substring_dedup(
+        pages_factory(rows).coalesce(1), min_chars=20).collect()
+    assert all(r["url"] != "u/nul" for r in out), out
