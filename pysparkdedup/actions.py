@@ -40,7 +40,8 @@ def _subset(final: DataFrame, action: str) -> DataFrame:
 
 def perform(final: DataFrame, action: str, out_path: str | None = None,
             dry_run: bool = False, pages: DataFrame | None = None,
-            fmt: str = "parquet", append: bool = False) -> dict:
+            fmt: str = "parquet", append: bool = False,
+            hardlink_differing: bool = False) -> dict:
     """Route an action verb (ref action.py:312-339). Returns counts.
 
     The pipeline dehydrates the payload column (html) from its working set;
@@ -50,7 +51,9 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
     ``fmt`` selects the export format (parquet|json|csv — the table-scale
     subset of the reference's 6 box formats, ref mail_box.py:490-511);
     ``append=True`` appends to an existing export instead of replacing it
-    (ref --export-append, cli.py:501 / create_box append mode).
+    (ref --export-append, cli.py:501 / create_box append mode);
+    ``hardlink_differing`` lets pointer dedup link byte-differing duplicates
+    (ref --hardlink-differing, action.py:156-192).
     """
     if action not in ACTIONS:
         raise ValueError(f"unknown action: {action!r}")
@@ -62,7 +65,8 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
     if not already_cached and not dry_run:
         final = final.persist()
     try:
-        return _perform(final, action, out_path, dry_run, pages, fmt, append)
+        return _perform(final, action, out_path, dry_run, pages, fmt, append,
+                        hardlink_differing)
     finally:
         if not already_cached and not dry_run:
             final.unpersist()
@@ -89,7 +93,8 @@ def _write(df: DataFrame, out_path: str, fmt: str, append: bool) -> None:
 
 def _perform(final: DataFrame, action: str, out_path: str | None,
              dry_run: bool, pages: DataFrame | None,
-             fmt: str = "parquet", append: bool = False) -> dict:
+             fmt: str = "parquet", append: bool = False,
+             hardlink_differing: bool = False) -> dict:
     target = _subset(final, action)
     count = target.count()
     verb = action.split("-")[0]
@@ -121,23 +126,47 @@ def _perform(final: DataFrame, action: str, out_path: str | None,
     elif verb == "hardlink":
         if not out_path:
             raise ValueError(f"{action} requires out_path")
-        _write(pointer_dedup(final), out_path, fmt, append)
+        _write(pointer_dedup(final, allow_differing=hardlink_differing),
+               out_path, fmt, append)
         written = True
     return {"action": action, "count": count, "written": written}
 
 
-def pointer_dedup(final: DataFrame) -> DataFrame:
-    """(url, kept_url, is_canonical): each discarded row points at the
-    deterministic min-url kept row of its set — the table analog of replacing
-    a file with a hardlink to the kept copy (link target = min kept mail,
-    ref deduplicate.py:1140-1170, min at :1168). Window-only, no join."""
+def pointer_dedup(final: DataFrame,
+                  allow_differing: bool = False) -> DataFrame:
+    """(url, kept_url, is_canonical, blocked_differing): each discarded row
+    points at the deterministic min-url kept row of its set — the table
+    analog of replacing a file with a hardlink to the kept copy (link target
+    = min kept mail, ref deduplicate.py:1140-1170, min at :1168).
+    Window-only, no join.
+
+    Reference parity: hardlinking a duplicate whose BYTES differ from the
+    kept copy is refused unless ``--hardlink-differing`` (hardlink_blocker,
+    ref action.py:156-192) — here byte-identity is equal ``raw_hash``.
+    Blocked rows keep their own url (the row stays as-is, like the file the
+    reference leaves untouched) and are flagged ``blocked_differing``."""
     w = Window.partitionBy("cluster_key")
-    kept_min = F.min(
-        F.when(F.col("status").isin("unique", "selected"), F.col("url"))
+    # min over struct(url, raw_hash) orders by url first: yields the kept
+    # row's url AND its raw hash in one window pass.
+    kept = F.min(
+        F.when(F.col("status").isin("unique", "selected"),
+               F.struct(F.col("url"), F.col("raw_hash")))
     ).over(w)
+    same_bytes = F.col("raw_hash") == kept["raw_hash"]
+    linkable = (
+        F.lit(allow_differing)
+        | F.coalesce(same_bytes, F.lit(False))
+        | kept["url"].isNull()
+    )
+    kept_url = F.when(linkable, F.coalesce(kept["url"], F.col("url"))) \
+        .otherwise(F.col("url"))
     return (
         final.filter(F.col("status").isin("unique", "selected", "discarded"))
-        .withColumn("kept_url", F.coalesce(kept_min, F.col("url")))
+        .withColumn("kept_url", kept_url)
         .withColumn("is_canonical", F.col("url") == F.col("kept_url"))
-        .select("url", "kept_url", "is_canonical")
+        .withColumn(
+            "blocked_differing",
+            ~linkable & (F.col("url") != F.coalesce(kept["url"], F.col("url"))),
+        )
+        .select("url", "kept_url", "is_canonical", "blocked_differing")
     )

@@ -33,7 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pysparkdedup",
         description="PySpark-native near-duplicate detection + clustering")
     p.add_argument("--input", required=True,
-                   help="parquet path with (url, warc_ts, html, text, lang)")
+                   help="source path with (url, warc_ts, html, text, lang)")
+    p.add_argument("--input-format", default=None,
+                   choices=["parquet", "json", "csv", "files"],
+                   help="source format; autodetected when omitted "
+                        "(ref --input-format / autodetect_box_type, "
+                        "mail_box.py:353-397)")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "minhash", "simhash", "hash-only"],
                    help="grouping mode (hash-only prints signatures and exits, "
@@ -58,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export box format (ref mail_box.py:490-511)")
     p.add_argument("--export-append", action="store_true",
                    help="append to an existing export (ref cli.py:501)")
+    p.add_argument("--hardlink-differing", action="store_true",
+                   help="let pointer dedup link byte-differing duplicates "
+                        "(ref action.py:156-192)")
+    p.add_argument("--time-column", default="warc_ts",
+                   help="timestamp column for time strategies "
+                        "(ref --time-source, mail.py:51-64)")
     p.add_argument("--config", default=None, metavar="TOML",
                    help="TOML config file; CLI flags override file values "
                         "(ref tests/test_config.py config-file layer)")
@@ -135,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         size_threshold=args.size_threshold,
         content_threshold=args.content_threshold,
         content_hash_mode=args.hash_body,
+        ts_col=args.time_column,
         dry_run=args.dry_run,
     )
     from pyspark.sql import SparkSession
@@ -142,7 +154,9 @@ def main(argv: list[str] | None = None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="pysparkdedup", master=args.master)
     try:
-        pages = spark.read.parquet(args.input)
+        from .sources import read_pages
+
+        pages = read_pages(spark, args.input, fmt=args.input_format)
 
         if args.mode == "hash-only":
             from .checkpoint import compute_signatures
@@ -180,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
             result = perform(final, args.action, args.output,
                              dry_run=args.dry_run, pages=pages,
                              fmt=args.export_format,
-                             append=args.export_append)
+                             append=args.export_append,
+                             hardlink_differing=args.hardlink_differing)
             verb_stat = {"copy": Stat.MAIL_COPIED, "move": Stat.MAIL_MOVED,
                          "delete": Stat.MAIL_DELETED}.get(
                              args.action.split("-")[0])

@@ -61,6 +61,9 @@ class DedupConfig:
 
     # --- misc --------------------------------------------------------------
     min_text_chars: int = 1  # reject floor (ref TooFewHeaders, mail.py:490-496)
+    ts_col: str = "warc_ts"  # timestamp column for time strategies — the
+    # --time-source analog (ref TimeSource mail.py:51-64: date-header vs
+    # ctime becomes 'which timestamp column of the table')
     seed: int = 42
     dry_run: bool = False
 

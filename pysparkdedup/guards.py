@@ -121,6 +121,57 @@ def _evict_group(pdf: pd.DataFrame, size_threshold: int, content_threshold: int,
     return out
 
 
+_DIFF_SCHEMA = T.StructType([
+    T.StructField("a", T.StringType(), False),
+    T.StructField("b", T.StringType(), False),
+    T.StructField("size_diff", T.LongType(), False),
+    T.StructField("content_diff", T.LongType(), True),
+])
+
+
+def pair_diff_lengths(df: DataFrame, cfg: DedupConfig,
+                      key: str = "cluster_key") -> DataFrame:
+    """Debug surface for the content guard — the ``--show-diff`` analog
+    (ref cli.py --show-diff / check_differences logging): per suspicious
+    group, every pair's size delta and exact content-diff length (the same
+    metric the eviction decision uses, memoized per body pair).
+    content_diff is null when the size offense already decided the pair."""
+    st, ct = cfg.size_threshold, cfg.content_threshold
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        urls = pdf["url"].tolist()
+        sizes = dict(zip(urls, pdf["n_bytes"].tolist()))
+        bodies = dict(zip(urls, pdf["raw_hash"].tolist()))
+        texts = dict(zip(urls, pdf["text"].tolist()))
+        diffs: dict[frozenset, int] = {}
+        rows = {"a": [], "b": [], "size_diff": [], "content_diff": []}
+        for a, b in combinations(urls, 2):
+            sd = abs(sizes[a] - sizes[b])
+            cd = None
+            if not (st >= 0 and sd > st):
+                pair = frozenset((bodies[a], bodies[b]))
+                if pair not in diffs:
+                    diffs[pair] = (
+                        0 if len(pair) == 1
+                        else _diff_len(texts[a].split("\n"),
+                                       texts[b].split("\n"))
+                    )
+                cd = diffs[pair]
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["size_diff"].append(sd)
+            rows["content_diff"].append(cd)
+        out = pd.DataFrame(rows)
+        out["content_diff"] = out["content_diff"].astype(object)
+        return out
+
+    return (
+        df.select("url", "n_bytes", "raw_hash", "text", key)
+        .groupBy(key)
+        .applyInPandas(run, schema=_DIFF_SCHEMA)
+    )
+
+
 def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
                  max_eviction_group: int = MAX_EVICTION_GROUP) -> DataFrame:
     """Annotate rows with ``evicted`` (bool) and ``guard_skip_kind``

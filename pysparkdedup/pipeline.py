@@ -115,7 +115,8 @@ def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
         & ~F.col("evicted")
         & F.col("guard_skip_kind").isNull()
     )
-    cascaded = apply_cascade(guarded, cfg, participates=participates)
+    cascaded = apply_cascade(guarded, cfg, ts_col=cfg.ts_col,
+                             participates=participates)
     return label_outcomes(cascaded)
 
 

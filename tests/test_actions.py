@@ -110,3 +110,25 @@ def test_export_append(final, tmp_path):
 def test_export_unknown_format(final, tmp_path):
     with pytest.raises(ValueError, match="unknown export format"):
         perform(final, "copy-selected", str(tmp_path / "x"), fmt="mbox")
+
+
+def test_pointer_dedup_blocks_differing_bytes(spark):
+    """Reference parity (--hardlink-differing, ref action.py:156-192): a
+    duplicate whose bytes differ from the kept copy is NOT pointered unless
+    explicitly allowed; it keeps its own url and is flagged."""
+    rows = [
+        ("u/kept", "selected", "c1", "h-same"),
+        ("u/same", "discarded", "c1", "h-same"),
+        ("u/diff", "discarded", "c1", "h-other"),
+    ]
+    fake_final = spark.createDataFrame(
+        rows, "url string, status string, cluster_key string, raw_hash string")
+    strict = {r["url"]: r for r in pointer_dedup(fake_final).collect()}
+    assert strict["u/same"]["kept_url"] == "u/kept"
+    assert strict["u/diff"]["kept_url"] == "u/diff"  # left as-is
+    assert strict["u/diff"]["blocked_differing"]
+    assert not strict["u/same"]["blocked_differing"]
+    loose = {r["url"]: r for r in
+             pointer_dedup(fake_final, allow_differing=True).collect()}
+    assert loose["u/diff"]["kept_url"] == "u/kept"
+    assert not loose["u/diff"]["blocked_differing"]
