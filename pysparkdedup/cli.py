@@ -1,8 +1,13 @@
 """spark-submit entry point — the ``mdedup`` CLI re-expressed for tables.
 
-Usage (local or cluster; on a cluster ship the package with --py-files):
+Usage. Locally: ``python -m pysparkdedup.cli …``. On a cluster, ship the
+package as a --py-files zip and launch through the script shim
+(spark-submit runs a script, not a module) — verified end-to-end from a
+clean directory:
 
-  spark-submit --py-files pysparkdedup.zip -m pysparkdedup.cli \\
+  python tools/package_pyfiles.py          # -> dist/pysparkdedup.zip
+  spark-submit --master <cluster> --py-files dist/pysparkdedup.zip \\
+      tools/submit_entry.py \\
       --input /data/pages_parquet \\
       --strategy select-newest --strategy select-one \\
       --action copy-selected --output /data/kept \\
