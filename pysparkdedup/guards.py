@@ -64,7 +64,23 @@ def _diff_len(lines_a: list[str], lines_b: list[str]) -> int:
 
 def _evict_group(pdf: pd.DataFrame, size_threshold: int, content_threshold: int,
                  max_group: int) -> pd.DataFrame:
-    """Greedy eviction for one group (ref deduplicate.py:304-359)."""
+    """Greedy eviction for one group (ref deduplicate.py:304-359).
+
+    Computed at BODY-CLASS granularity: members sharing ``raw_hash`` have
+    identical text (and so identical size and offenses) — offenses are
+    decided once per class pair (the reference's per-body-pair diff
+    memoization taken to its conclusion, ref deduplicate.py:307-326), and
+    the node-level greedy loop is simulated exactly over class counts. A
+    whitespace-jitter mega-cluster with m distinct bodies costs
+    O(n + m^2 diffs) instead of O(n^2) Python pair iterations; the
+    all-distinct worst case stays bounded by ``max_group``.
+
+    Equivalence with the node-level greedy (pinned by a property test):
+    degree(u) = number of offending neighbor NODES = sum of counts of
+    offending classes; within a class, the min url is always the next
+    eviction candidate; no two members of one class ever offend each other
+    (same text, same size).
+    """
     urls = pdf["url"].tolist()
     n = len(urls)
     out = pd.DataFrame({"url": urls, "evicted": False, "guard_skip_kind": None})
@@ -76,42 +92,58 @@ def _evict_group(pdf: pd.DataFrame, size_threshold: int, content_threshold: int,
         out["guard_skip_kind"] = "size" if size_breach else "content"
         return out
 
-    sizes = dict(zip(urls, pdf["n_bytes"].tolist()))
-    bodies = dict(zip(urls, pdf["raw_hash"].tolist()))
-    texts = dict(zip(urls, pdf["text"].tolist()))
+    # class decomposition: raw_hash -> (sorted member urls, size, text)
+    members: dict[str, list[str]] = {}
+    csize: dict[str, int] = {}
+    ctext: dict[str, str] = {}
+    for url, size, body, text in zip(
+            urls, pdf["n_bytes"].tolist(), pdf["raw_hash"].tolist(),
+            pdf["text"].tolist()):
+        members.setdefault(body, []).append(url)
+        csize[body] = size
+        ctext[body] = text
+    classes = sorted(members)
+    for c in classes:
+        members[c].sort()
 
-    offending: dict[str, set[str]] = {}
+    adj: dict[str, set[str]] = {c: set() for c in classes}
     size_offense = False
-    diffs: dict[frozenset, int] = {}
-    for a, b in combinations(urls, 2):
-        offense = False
-        if size_threshold >= 0 and abs(sizes[a] - sizes[b]) > size_threshold:
-            offense = size_offense = True
-        if not offense and content_threshold >= 0:
-            pair = frozenset((bodies[a], bodies[b]))
-            if pair not in diffs:
-                # One distinct body => both carry it => nothing to diff
-                # (ref deduplicate.py:316-318).
-                diffs[pair] = (
-                    0 if len(pair) == 1
-                    else _diff_len(texts[a].split("\n"), texts[b].split("\n"))
-                )
-            if diffs[pair] > content_threshold:
-                offense = True
-        if offense:
-            offending.setdefault(a, set()).add(b)
-            offending.setdefault(b, set()).add(a)
+    for i, a in enumerate(classes):
+        for b in classes[i + 1:]:
+            offense = False
+            if size_threshold >= 0 and abs(csize[a] - csize[b]) > size_threshold:
+                offense = size_offense = True
+            if not offense and content_threshold >= 0:
+                if _diff_len(ctext[a].split("\n"),
+                             ctext[b].split("\n")) > content_threshold:
+                    offense = True
+            if offense:
+                adj[a].add(b)
+                adj[b].add(a)
 
-    evicted: set[str] = set()
-    while any(offending.values()):
-        outlier = min(
-            (u for u, peers in offending.items() if peers),
-            key=lambda u: (-len(offending[u]), u),
-        )
-        evicted.add(outlier)
-        offending.pop(outlier)
-        for peers in offending.values():
-            peers.discard(outlier)
+    if not any(adj.values()):
+        return out  # no offending pair anywhere — common case, O(n + m^2)
+
+    counts = {c: len(members[c]) for c in classes}
+    heads = {c: 0 for c in classes}  # next-eviction pointer into members[c]
+    evicted: list[str] = []
+    while True:
+        best = None  # (neg_degree, head_url, class)
+        for c in classes:
+            if counts[c] == 0:
+                continue
+            deg = sum(counts[d] for d in adj[c])
+            if deg == 0:
+                continue
+            key = (-deg, members[c][heads[c]])
+            if best is None or key < best[0]:
+                best = (key, c)
+        if best is None:
+            break
+        c = best[1]
+        evicted.append(members[c][heads[c]])
+        heads[c] += 1
+        counts[c] -= 1
 
     if evicted and n - len(evicted) < 2:
         out["guard_skip_kind"] = "size" if size_offense else "content"

@@ -69,3 +69,74 @@ def test_suffix_array_matches_naive(s):
     got = suffix_array(s).tolist()
     expected = sorted(range(len(s)), key=lambda i: s[i:])
     assert got == expected
+
+
+# ---- guards: class-level greedy eviction == node-level reference ----------
+
+def _naive_evict(rows, st, ct):
+    """Direct node-level transcription of ref deduplicate.py:304-359."""
+    from itertools import combinations
+
+    from pysparkdedup.guards import _diff_len
+
+    urls = [r[0] for r in rows]
+    sizes = {r[0]: r[1] for r in rows}
+    texts = {r[0]: r[2] for r in rows}
+    offending, size_offense = {}, False
+    diffs = {}
+    for a, b in combinations(urls, 2):
+        offense = False
+        if st >= 0 and abs(sizes[a] - sizes[b]) > st:
+            offense = size_offense = True
+        if not offense and ct >= 0:
+            pair = frozenset((texts[a], texts[b]))
+            if pair not in diffs:
+                diffs[pair] = (0 if len(pair) == 1 else
+                               _diff_len(texts[a].split("\n"),
+                                         texts[b].split("\n")))
+            if diffs[pair] > ct:
+                offense = True
+        if offense:
+            offending.setdefault(a, set()).add(b)
+            offending.setdefault(b, set()).add(a)
+    evicted = set()
+    while any(offending.values()):
+        outlier = min((u for u, peers in offending.items() if peers),
+                      key=lambda u: (-len(offending[u]), u))
+        evicted.add(outlier)
+        offending.pop(outlier)
+        for peers in offending.values():
+            peers.discard(outlier)
+    if evicted and len(urls) - len(evicted) < 2:
+        return None, ("size" if size_offense else "content")
+    return evicted, None
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a\nb", "a\nc", "x" * 40 + "\ny", "zz", ""]),
+             min_size=1, max_size=12),
+    st.sampled_from([-1, 0, 5, 512]),
+    st.sampled_from([-1, 0, 10, 768]),
+)
+def test_class_level_eviction_matches_node_level(texts_pool, st_thr, ct_thr):
+    import pandas as pd
+
+    from pysparkdedup.guards import _evict_group
+
+    rows = [(f"u{i:02d}", len(t), t) for i, t in enumerate(texts_pool)]
+    pdf = pd.DataFrame({
+        "url": [r[0] for r in rows],
+        "n_bytes": [r[1] for r in rows],
+        # raw_hash stands in for the body-identity key; equal text == equal hash
+        "raw_hash": [r[2] for r in rows],
+        "text": [r[2] for r in rows],
+    })
+    got = _evict_group(pdf, st_thr, ct_thr, max_group=5000)
+    exp_evicted, exp_skip = _naive_evict(rows, st_thr, ct_thr)
+    if exp_skip is not None:
+        assert set(got["guard_skip_kind"]) == {exp_skip}
+        assert not got["evicted"].any()
+    else:
+        assert set(got.loc[got["evicted"], "url"]) == exp_evicted
+        assert got["guard_skip_kind"].isna().all()
