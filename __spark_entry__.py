@@ -1061,9 +1061,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM nofrag
             ), noport AS (
                 SELECT doc_id,
-                       regexp_replace(u,
-                           '^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)',
-                           '\1\3') AS u
+                       regexp_replace(
+                           regexp_replace(u, '^(http://[^/?#:]*):80([/?]|$)',
+                                          '\1\2'),
+                           '^(https://[^/?#:]*):443([/?]|$)', '\1\2') AS u
                 FROM lowered
             ), notrack AS (
                 SELECT doc_id,

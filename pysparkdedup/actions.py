@@ -144,7 +144,10 @@ def pointer_dedup(final: DataFrame,
     kept copy is refused unless ``--hardlink-differing`` (hardlink_blocker,
     ref action.py:156-192) — here byte-identity is equal ``raw_hash``.
     Blocked rows keep their own url (the row stays as-is, like the file the
-    reference leaves untouched) and are flagged ``blocked_differing``."""
+    reference leaves untouched) and are flagged ``blocked_differing``;
+    they are NOT ``is_canonical`` — a blocked row self-points but is still a
+    duplicate, so consumers selecting ``is_canonical`` get exactly one kept
+    copy per set, never a refused duplicate riding along."""
     w = Window.partitionBy("cluster_key")
     # min over struct(url, raw_hash) orders by url first: yields the kept
     # row's url AND its raw hash in one window pass.
@@ -160,13 +163,14 @@ def pointer_dedup(final: DataFrame,
     )
     kept_url = F.when(linkable, F.coalesce(kept["url"], F.col("url"))) \
         .otherwise(F.col("url"))
+    blocked = ~linkable & (F.col("url") != F.coalesce(kept["url"], F.col("url")))
     return (
         final.filter(F.col("status").isin("unique", "selected", "discarded"))
         .withColumn("kept_url", kept_url)
-        .withColumn("is_canonical", F.col("url") == F.col("kept_url"))
+        .withColumn("blocked_differing", blocked)
         .withColumn(
-            "blocked_differing",
-            ~linkable & (F.col("url") != F.coalesce(kept["url"], F.col("url"))),
+            "is_canonical",
+            (F.col("url") == F.col("kept_url")) & ~F.col("blocked_differing"),
         )
         .select("url", "kept_url", "is_canonical", "blocked_differing")
     )

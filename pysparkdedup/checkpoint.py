@@ -41,7 +41,7 @@ MANIFEST = "_manifest.json"
 DATA_DIR = "data"
 
 
-def stale_key_col() -> F.Column:
+def stale_key_col(full: bool = False) -> F.Column:
     """Cheap change-detection key per row (ref StaleKey cache.py:64-69):
     derived from text length + warc_ts + a crc32 of a fixed-length edge
     sample, NOT a full-text hash — detecting a changed row must stay cheap.
@@ -52,7 +52,23 @@ def stale_key_col() -> F.Column:
     checkpointed signatures. Length + first/last 64 chars catches everything
     but an interior same-length edit with untouched edges — documented
     residual risk, same class as an mtime-preserving edit in the reference.
+
+    ``full=True`` (cfg.stale_key_full) opts into a full-text sha2 key instead:
+    no blind spot at the cost of hashing every byte per run — for users who
+    prefer correctness over cheap change detection. Both variants are
+    versioned into the settings fingerprint (config.STALE_KEY_VERSION /
+    stale_key_full), so switching wipes the checkpoint explicitly rather than
+    silently missing every join key.
     """
+    if full:
+        return F.sha2(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("text"), F.lit("\x00missing")),
+                F.coalesce(F.col("warc_ts").cast("string"), F.lit("null")),
+            ),
+            256,
+        )
     sample = F.concat(
         F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64),
         F.substring(F.coalesce(F.col("text"), F.lit("")), -64, 64),
@@ -72,7 +88,7 @@ def compute_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(url, stale_key, content_hash, minhash, simhash) for every row."""
     base = pages.select(
         "url",
-        stale_key_col().alias("stale_key"),
+        stale_key_col(full=cfg.stale_key_full).alias("stale_key"),
         content_hash_expr(cfg).alias("content_hash"),
     )
     mh = minhash_signatures(pages, cfg).select("url", "minhash")
@@ -146,7 +162,8 @@ def signatures_with_checkpoint(
     ckpt = SignatureCheckpoint(checkpoint_path)
     cached = ckpt.load(spark, cfg)
 
-    keyed = pages.withColumn("stale_key", stale_key_col())
+    keyed = pages.withColumn(
+        "stale_key", stale_key_col(full=cfg.stale_key_full))
     if cached is None:
         fresh = compute_signatures(pages, cfg)
         result = fresh

@@ -131,6 +131,17 @@ def _merge_config(args: argparse.Namespace, parser: argparse.ArgumentParser,
                 raise ValueError(f"config file: unknown strategy {bad!r}")
             args.strategy = value
             continue
+        if isinstance(act, (argparse._StoreTrueAction,
+                            argparse._StoreFalseAction)):
+            # store_true flags have type=None: a TOML string like
+            # dry-run = "false" would land truthy on args — require a real
+            # TOML bool.
+            if not isinstance(value, bool):
+                raise ValueError(
+                    f"config file: {key!r} must be a TOML bool "
+                    f"(true/false), got {value!r}")
+            setattr(args, key, value)
+            continue
         if act.type is not None and value is not None:
             value = act.type(value)
         if act.choices is not None and value not in act.choices:

@@ -25,6 +25,14 @@ CONTENT_HASH_SKIP = "skip"
 DEFAULT_SIZE_THRESHOLD = 512  # bytes, ref cli.py:439-450
 DEFAULT_CONTENT_THRESHOLD = 768  # bytes, ref cli.py:451-464
 
+# Version of the checkpoint stale-key formula (checkpoint.stale_key_col).
+# Folded into signature_fingerprint so a formula change EXPLICITLY wipes
+# pre-existing checkpoints instead of silently missing every (url, stale_key)
+# join key — the silent path would look like a full cache miss (correct but
+# unobservable); the wipe is the reference's settings-change semantics
+# (ref cache.py:232-246). Bump on any change to stale_key_col.
+STALE_KEY_VERSION = 2
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -61,6 +69,11 @@ class DedupConfig:
 
     # --- misc --------------------------------------------------------------
     min_text_chars: int = 1  # reject floor (ref TooFewHeaders, mail.py:490-496)
+    stale_key_full: bool = False  # checkpoint change detection: False = cheap
+    # (length + edge-sample crc + warc_ts — the reference's size+mtime analog,
+    # ref cache.py:64-69, with its documented interior-same-length-edit blind
+    # spot); True = full sha2 of the text (no blind spot, costs one full-text
+    # hash per row per run)
     ts_col: str = "warc_ts"  # timestamp column for time strategies — the
     # --time-source analog (ref TimeSource mail.py:51-64: date-header vs
     # ctime becomes 'which timestamp column of the table')
@@ -82,6 +95,10 @@ class DedupConfig:
             "simhash_bits": self.simhash_bits,
             "seed": self.seed,
             "min_text_chars": self.min_text_chars,
+            # stale-key semantics: either change makes old (url, stale_key)
+            # rows unmatchable — wipe instead of silently full-missing
+            "stale_key_version": STALE_KEY_VERSION,
+            "stale_key_full": self.stale_key_full,
         }
         blob = json.dumps(relevant, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()

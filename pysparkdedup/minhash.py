@@ -4,7 +4,9 @@ The near-dup generalization of the reference's hash-key grouping
 (ref deduplicate.py:958-1058): where the reference groups on one exact SHA-224
 key, this module groups on ``lsh_bands`` many banded MinHash keys, so
 documents at Jaccard similarity J collide in >=1 band with probability
-1 - (1 - J^r)^b (b=32, r=4 defaults target J >= ~0.8).
+1 - (1 - J^r)^b (defaults b=16, r=4 — config.py:49-51: P[collide] ~ 0.9998
+at J=0.8 and ~0.23 at J=0.3, so the J>=0.8 verify threshold sees near-full
+recall while most sub-0.3 noise pairs never become candidates).
 
 Physical design for 10^12 docs:
 - signatures are computed in ``mapInPandas`` with fully vectorized numpy — a

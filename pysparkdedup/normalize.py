@@ -93,8 +93,11 @@ def normalize_url(col: Column) -> Column:
     the DuckDB oracle replays it exactly):
       1. strip the fragment (#...)
       2. lowercase scheme + authority (path/query case is significant)
-      3. drop a default port :80/:443 — anchored to the authority only, so a
-         ':80' inside a path or query is never touched
+      3. drop the scheme's OWN default port — :80 after http://, :443 after
+         https:// only (http://h:443 is a genuinely different origin than
+         http://h, so a blanket strip would falsely merge identities) —
+         anchored to the authority, so a ':80' inside a path/query is never
+         touched
       4. drop tracking params (utm_*, fbclid, gclid) — anchored to a
          preceding '?'/'&', so longer param names (myfbclid=…) survive —
          keeping the separator, then tidy '&&'/'?&' runs
@@ -106,7 +109,8 @@ def normalize_url(col: Column) -> Column:
         F.regexp_replace(no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
     )
     no_port = F.regexp_replace(
-        lowered, "^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)", "$1$3")
+        F.regexp_replace(lowered, "^(http://[^/?#:]*):80([/?]|$)", "$1$2"),
+        "^(https://[^/?#:]*):443([/?]|$)", "$1$2")
     no_track = F.regexp_replace(
         no_port, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     tidy = F.regexp_replace(

@@ -179,17 +179,49 @@ def embedding_dup_clusters(emb: DataFrame, threshold: float = 0.95,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_tables: int = 8, n_bits: int = 12, seed: int = 42,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             max_bucket: int = 4096, hot_obs=None) -> DataFrame:
     """Approximate top-k via shared sign-LSH buckets, exact cosine on
-    candidates only. queries: DataFrame (query_id, embedding)."""
+    candidates only. queries: DataFrame (query_id, embedding).
+
+    Skew guard (same discipline as embedding_dup_edges / pairs.bucket_pairs):
+    the query-bucket x corpus-bucket equi-join is quadratic on exactly the
+    skewed key — a low-entropy embedding region (or n_bits too small) can put
+    a large corpus fraction in ONE bucket, making the candidate set
+    |queries-in-bucket| x |corpus-in-bucket|. Corpus buckets larger than
+    ``max_bucket`` are dropped from candidate generation: a bucket holding
+    that much of the corpus carries almost no locality signal anyway (it is
+    the LSH analog of a stopword posting, cf. the df-cut in ngram.py), and a
+    query whose every table lands hot degrades to no candidates rather than
+    an unbounded join. The degradation is observable, never silent: pass
+    ``hot_obs`` (a pyspark.sql.Observation) to collect ``hot_buckets`` /
+    ``hot_rows`` metrics during the action that materializes the result.
+    """
     cb = hyperplane_buckets(corpus, n_tables, n_bits, seed=seed,
                             id_col=id_col, emb_col=emb_col)
     qb = hyperplane_buckets(
         queries.select(F.col("query_id").alias(id_col), emb_col),
         n_tables, n_bits, seed=seed, id_col=id_col, emb_col=emb_col,
     ).withColumnRenamed(id_col, "query_id")
+    sizes = cb.groupBy("table_id", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsize"))
+    if hot_obs is not None:
+        sizes = sizes.observe(
+            hot_obs,
+            F.sum((F.col("_bsize") > max_bucket).cast("long"))
+            .alias("hot_buckets"),
+            F.sum(F.when(F.col("_bsize") > max_bucket, F.col("_bsize"))
+                  .otherwise(F.lit(0))).alias("hot_rows"),
+        )
+    # The build side is one skinny row per cold bucket — shuffle_hash skips
+    # the SMJ sort of the (much wider) corpus bucket rows.
+    cold_cb = cb.join(
+        sizes.filter(F.col("_bsize") <= max_bucket).drop("_bsize")
+        .hint("shuffle_hash"),
+        ["table_id", "bucket"],
+    )
     cand = (
-        qb.join(cb, ["table_id", "bucket"])
+        qb.join(cold_cb, ["table_id", "bucket"])
         .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
     )

@@ -128,7 +128,13 @@ def test_pointer_dedup_blocks_differing_bytes(spark):
     assert strict["u/diff"]["kept_url"] == "u/diff"  # left as-is
     assert strict["u/diff"]["blocked_differing"]
     assert not strict["u/same"]["blocked_differing"]
+    # a blocked self-pointing duplicate is NOT canonical (advice r2):
+    # filtering is_canonical yields exactly one kept copy per set
+    assert not strict["u/diff"]["is_canonical"]
+    assert strict["u/kept"]["is_canonical"]
+    assert sum(r["is_canonical"] for r in strict.values()) == 1
     loose = {r["url"]: r for r in
              pointer_dedup(fake_final, allow_differing=True).collect()}
     assert loose["u/diff"]["kept_url"] == "u/kept"
     assert not loose["u/diff"]["blocked_differing"]
+    assert not loose["u/diff"]["is_canonical"]

@@ -141,6 +141,33 @@ def test_same_length_edit_invalidates_stale_key(spark):
     assert ka != kb
 
 
+def test_full_stale_key_catches_interior_edit(spark):
+    """The cheap key's documented blind spot — an interior same-length edit
+    with untouched 64-char edges — is closed by the opt-in full-text key
+    (cfg.stale_key_full, verdict r2 #10)."""
+    from pysparkdedup.checkpoint import stale_key_col
+    from tests.conftest import make_pages, ts
+
+    pad = "x" * 64
+    a = make_pages(spark, [("u/x", ts(0), pad + " middle aaa " + pad, "en")])
+    b = make_pages(spark, [("u/x", ts(0), pad + " middle bbb " + pad, "en")])
+    cheap = [d.select(stale_key_col().alias("k")).first()["k"] for d in (a, b)]
+    full = [d.select(stale_key_col(full=True).alias("k")).first()["k"]
+            for d in (a, b)]
+    assert cheap[0] == cheap[1]  # the documented residual risk
+    assert full[0] != full[1]    # closed by full=True
+
+
+def test_stale_key_mode_changes_fingerprint():
+    """Switching stale-key semantics (full flag, or a formula version bump)
+    must wipe the checkpoint via the settings fingerprint — never a silent
+    full re-sign where every (url, stale_key) join key misses (advice r2)."""
+    from pysparkdedup.config import DedupConfig
+
+    assert (DedupConfig().signature_fingerprint()
+            != DedupConfig(stale_key_full=True).signature_fingerprint())
+
+
 def test_incremental_simhash_equals_fresh(spark, tmp_path):
     """run_incremental(mode='simhash') reuses checkpointed simhash signatures
     and matches a fresh simhash-clustered run, cold and warm."""

@@ -117,3 +117,23 @@ def test_config_file_scalar_strategy_and_types(tmp_path):
         _merge_config(parser.parse_args(
             ["--input", "x", "--config", str(bad)]), parser,
             ["--input", "x", "--config", str(bad)])
+
+
+def test_config_file_bool_flags(tmp_path):
+    """store_true flags (type=None) must be real TOML bools: the string
+    "false" would otherwise land truthy on args (advice r2)."""
+    from pysparkdedup.cli import _merge_config, build_parser
+
+    parser = build_parser()
+    ok = tmp_path / "ok.toml"
+    ok.write_text('[pysparkdedup]\ndry-run = true\nexport-append = false\n')
+    argv = ["--input", "x", "--config", str(ok)]
+    args = _merge_config(parser.parse_args(argv), parser, argv)
+    assert args.dry_run is True
+    assert args.export_append is False
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text('[pysparkdedup]\ndry-run = "false"\n')
+    argv = ["--input", "x", "--config", str(bad)]
+    with pytest.raises(ValueError, match="must be a TOML bool"):
+        _merge_config(parser.parse_args(argv), parser, argv)

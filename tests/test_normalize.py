@@ -128,6 +128,11 @@ def test_normalize_url(spark, raw, expected):
     ("http://ex.com/p?myfbclid=2", "http://ex.com/p?myfbclid=2"),
     # consecutive tracking params all removed, separators tidied
     ("http://ex.com/p?utm_a=1&utm_b=2&id=3", "http://ex.com/p?id=3"),
+    # port strip is scheme-aware (advice r2): http://h:443 is NOT http://h
+    # (a genuinely different origin) and https://h:80 is NOT https://h
+    ("http://ex.com:443/x", "http://ex.com:443/x"),
+    ("https://ex.com:80/x", "https://ex.com:80/x"),
+    ("ftp://ex.com:80/x", "ftp://ex.com:80/x"),
 ])
 def test_normalize_url_boundary_cases(spark, raw, expected):
     assert one(spark, N.normalize_url(F.col("v")), raw) == expected
