@@ -515,7 +515,11 @@ def _q_checkpoint_resume_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only (non-SQL-expressible) ---------------------------------------
 
 def _q_minhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup clusters (minhash.py) — rows-only check."""
+    """MinHash-LSH near-dup clusters (minhash.py) — the engine's headline
+    output, fully oracle-checked: DuckDB replays signatures, banding-by-slice
+    equality, pairwise candidates, jaccard verify, and the union-find
+    min-label fixpoint as a recursive-CTE transitive closure
+    (_minhash_clusters_oracle_sql)."""
     from pysparkdedup.minhash import minhash_clusters
 
     pages = _docs_as_pages(spark, sf_dir)
@@ -755,12 +759,13 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB replay of minhash signatures: token hashes (as simhash), k=5
-    shingle combiner (FNV poly mod 2^64, masked to the Mersenne-31 field),
-    then per-permutation min of (a*s + b) mod 2^31-1 with the ACTUAL seeded
-    permutation params embedded as literals (minhash._perm_params, seed from
-    DedupConfig) — the signature values themselves are hash-checked."""
+def _minhash_sig_ctes() -> str:
+    """Shared DuckDB CTE chain replaying minhash signatures: token hashes
+    (as simhash), k=5 shingle combiner (FNV poly mod 2^64, masked to the
+    Mersenne-31 field), then per-permutation min of (a*s + b) mod 2^31-1
+    with the ACTUAL seeded permutation params embedded as literals
+    (minhash._perm_params, seed from DedupConfig). Ends with table
+    ``msig(url, pos, sig)``."""
     from pysparkdedup.minhash import _perm_params
 
     cfg = DedupConfig()
@@ -772,7 +777,7 @@ def _minhash_oracle_sql() -> str:
     poly5 = (f"((((((((hs[i]*{B} + hs[i+1]) % {M})*{B} + hs[i+2]) % {M})*{B}"
              f" + hs[i+3]) % {M})*{B} + hs[i+4]) % {M})")
     return f"""
-        WITH tokl AS (
+        tokl AS (
             SELECT doc_id::VARCHAR AS url,
                    list_filter(regexp_split_to_array(
                        lower(coalesce(text, '')), '[^0-9a-z_]+'),
@@ -793,9 +798,69 @@ def _minhash_oracle_sql() -> str:
             FROM h5 WHERE len(hs) >= 5
         ), e AS ( SELECT url, unnest(shl) AS s FROM shs
         ), perms(j, a, b) AS ( VALUES {perm_rows} )
-        SELECT e.url, p.j AS pos,
-               min((p.a * s::BIGINT + p.b) % {P31})::INT AS sig
-        FROM e, perms p GROUP BY 1, 2
+        , msig AS (
+            SELECT e.url, p.j AS pos,
+                   min((p.a * s::BIGINT + p.b) % {P31})::INT AS sig
+            FROM e, perms p GROUP BY 1, 2
+        )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Signature values hash-checked (see _minhash_sig_ctes)."""
+    return f"WITH {_minhash_sig_ctes()} SELECT url, pos, sig FROM msig"
+
+
+def _minhash_clusters_oracle_sql() -> str:
+    """DuckDB replay of the engine's HEADLINE output — minhash cluster
+    assignments: signatures (shared CTEs) -> LSH banding (slice equality ==
+    band-hash equality modulo 64-bit xxhash collisions, which the jaccard
+    verify makes inert) -> full pairwise candidates per bucket (exact at
+    sf0.01: max band bucket is 3 << max_bucket_size, so the salted-star
+    degrade path never fires) -> signature-jaccard verify -> min-label
+    union-find as a WITH RECURSIVE transitive closure (the same fixpoint
+    components.py:79-97 runs; closure is affordable at oracle scale)."""
+    cfg = DedupConfig()
+    r, b = cfg.lsh_rows, cfg.lsh_bands
+    # integer form of (matches / num_perm >= threshold), exact at the float
+    # boundary because matches/num_perm is a dyadic rational
+    m = min(k for k in range(cfg.num_perm + 1)
+            if k / cfg.num_perm >= cfg.jaccard_threshold)
+    return f"""
+        WITH RECURSIVE {_minhash_sig_ctes()},
+        sigv AS (
+            SELECT url, list(sig ORDER BY pos) AS sig FROM msig GROUP BY url
+        ),
+        bands AS (
+            SELECT url, i AS band_id, sig[i*{r}+1 : i*{r}+{r}] AS bslice
+            FROM sigv, unnest(generate_series(0, {b - 1})) AS t(i)
+        ),
+        cand AS (
+            SELECT x.url AS a, y.url AS b
+            FROM bands x JOIN bands y
+              ON x.band_id = y.band_id AND x.bslice = y.bslice
+             AND x.url < y.url
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN sigv sa ON sa.url = c.a
+            JOIN sigv sb ON sb.url = c.b
+            WHERE len(list_filter(generate_series(1, {cfg.num_perm}),
+                                  i -> sa.sig[i] = sb.sig[i])) >= {m}
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM edges
+            UNION ALL
+            SELECT b AS src, a AS dst FROM edges
+        ),
+        walk(node, label) AS (
+            SELECT dst, dst FROM sym
+            UNION
+            SELECT s.dst, w.label FROM sym s JOIN walk w ON s.src = w.node
+        )
+        SELECT node AS url, 'cc:' || min(label) AS cluster_key
+        FROM walk GROUP BY node
     """
 
 
@@ -1125,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
+        "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
         "winnow_fingerprints_docs": r"""
             WITH codes AS (
                 SELECT doc_id::VARCHAR AS url,
