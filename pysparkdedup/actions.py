@@ -41,7 +41,8 @@ def _subset(final: DataFrame, action: str) -> DataFrame:
 def perform(final: DataFrame, action: str, out_path: str | None = None,
             dry_run: bool = False, pages: DataFrame | None = None,
             fmt: str = "parquet", append: bool = False,
-            hardlink_differing: bool = False) -> dict:
+            hardlink_differing: bool = False,
+            source_out_path: str | None = None) -> dict:
     """Route an action verb (ref action.py:312-339). Returns counts.
 
     The pipeline dehydrates the payload column (html) from its working set;
@@ -54,6 +55,12 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
     (ref --export-append, cli.py:501 / create_box append mode);
     ``hardlink_differing`` lets pointer dedup link byte-differing duplicates
     (ref --hardlink-differing, action.py:156-192).
+
+    ``source_out_path`` completes move-* end-to-end: the reference's move is
+    copy + delete-from-source in one verb (ref move_mails action.py:94-117);
+    at table scale the 'delete' half is the rewritten source (we never mutate
+    the input path in place — snapshot semantics), written here as
+    final-minus-moved. Required for move-*.
     """
     if action not in ACTIONS:
         raise ValueError(f"unknown action: {action!r}")
@@ -66,7 +73,7 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
         final = final.persist()
     try:
         return _perform(final, action, out_path, dry_run, pages, fmt, append,
-                        hardlink_differing)
+                        hardlink_differing, source_out_path)
     finally:
         if not already_cached and not dry_run:
             final.unpersist()
@@ -94,10 +101,15 @@ def _write(df: DataFrame, out_path: str, fmt: str, append: bool) -> None:
 def _perform(final: DataFrame, action: str, out_path: str | None,
              dry_run: bool, pages: DataFrame | None,
              fmt: str = "parquet", append: bool = False,
-             hardlink_differing: bool = False) -> dict:
+             hardlink_differing: bool = False,
+             source_out_path: str | None = None) -> dict:
     target = _subset(final, action)
     count = target.count()
     verb = action.split("-")[0]
+    if verb == "move" and not source_out_path and not dry_run:
+        raise ValueError(
+            f"{action} requires source_out_path: move = copy + rewritten "
+            f"source in one verb (ref move_mails action.py:94-117)")
 
     if dry_run:
         return {"action": action, "count": count, "written": False}
@@ -114,9 +126,11 @@ def _perform(final: DataFrame, action: str, out_path: str | None,
         _write(hydrate(target), out_path, fmt, append)
         written = True
         if verb == "move":
-            # Table-side delete is the caller's rewrite of the source (we
-            # never mutate the input path in place — snapshot semantics).
-            pass
+            # The delete half: the rewritten source without the moved rows
+            # (ref move_mails = copy + delete, action.py:94-117). Never
+            # appended — a rewritten source is a full snapshot.
+            keep = final.join(target.select("url"), "url", "left_anti")
+            _write(hydrate(keep), source_out_path, fmt, append=False)
     elif verb == "delete":
         if not out_path:
             raise ValueError(f"{action} requires out_path (the rewritten table)")

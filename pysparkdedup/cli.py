@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="selection strategy; repeat for a cascade")
     p.add_argument("--action", default=None, choices=list(ACTIONS))
     p.add_argument("--output", default=None, help="output parquet for actions")
+    p.add_argument("--source-output", default=None,
+                   help="for move-*: path for the rewritten source without "
+                        "the moved rows (move = copy + delete in one verb, "
+                        "ref move_mails action.py:94-117)")
     p.add_argument("--regexp", default=None)
     p.add_argument("--size-threshold", type=int, default=512)
     p.add_argument("--content-threshold", type=int, default=768)
@@ -211,7 +215,8 @@ def main(argv: list[str] | None = None) -> int:
                              dry_run=args.dry_run, pages=pages,
                              fmt=args.export_format,
                              append=args.export_append,
-                             hardlink_differing=args.hardlink_differing)
+                             hardlink_differing=args.hardlink_differing,
+                             source_out_path=args.source_output)
             verb_stat = {"copy": Stat.MAIL_COPIED, "move": Stat.MAIL_MOVED,
                          "delete": Stat.MAIL_DELETED}.get(
                              args.action.split("-")[0])

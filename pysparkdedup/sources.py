@@ -19,32 +19,74 @@ All readers emit: url, warc_ts, html, text, lang (input_hint schema).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FORMATS = ("parquet", "json", "csv", "files")
 
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
 
-def autodetect(path: str) -> str:
-    """Sniff the source format from directory contents
-    (≈ ref mail_box.py:353-397)."""
-    if os.path.isdir(path):
-        names = os.listdir(path)
-        if any(n.endswith(".parquet") for n in names):
-            return "parquet"
-        if any(n.endswith(".json") or n.endswith(".jsonl") for n in names):
-            return "json"
-        if any(n.endswith(".csv") for n in names):
-            return "csv"
-        return "files"
-    if path.endswith(".parquet"):
+
+def _sniff(names: list[str]) -> str:
+    if any(n.endswith(".parquet") for n in names):
         return "parquet"
-    if path.endswith((".json", ".jsonl")):
+    if any(n.endswith(".json") or n.endswith(".jsonl") for n in names):
         return "json"
-    if path.endswith(".csv"):
+    if any(n.endswith(".csv") for n in names):
         return "csv"
     return "files"
+
+
+def _hadoop_listdir(spark: SparkSession, path: str) -> list[str] | None:
+    """Directory entry names via the Hadoop FileSystem API — works for any
+    scheme the cluster's classpath provides (hdfs://, s3a://, gs://, ...).
+    Returns None when ``path`` is a single file."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.getFileStatus(hpath).isDirectory():
+        return None
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def autodetect(path: str, spark: SparkSession | None = None) -> str:
+    """Sniff the source format from directory contents
+    (≈ ref mail_box.py:353-397).
+
+    Local paths sniff via os.listdir (parity: the reference is local-only).
+    For remote URIs (s3a://, hdfs://, gs://, ...) pass ``spark`` to list
+    through the Hadoop FileSystem API; without a session — or when the
+    scheme has no FileSystem on the classpath — this raises with an
+    explicit pointer at ``--input-format`` instead of an os.listdir
+    ENOENT deep in the read (verdict r2 #8)."""
+    scheme = _SCHEME_RE.match(path)
+    if scheme and scheme.group(1).lower() == "file" and spark is None:
+        # file:// is local — sniff without a session
+        local = path[len(scheme.group(0)) - 2:]  # keep the leading /
+        local = "/" + local.lstrip("/")
+        if os.path.isdir(local):
+            return _sniff(os.listdir(local))
+        return _sniff([local])
+    if scheme:
+        if spark is None:
+            raise ValueError(
+                f"cannot autodetect the format of remote source {path!r} "
+                f"without an active SparkSession — pass --input-format "
+                f"(one of {FORMATS}) or provide spark=")
+        try:
+            names = _hadoop_listdir(spark, path)
+        except Exception as exc:  # unknown scheme / missing path / auth
+            raise ValueError(
+                f"cannot autodetect the format of remote source {path!r} "
+                f"({exc}); pass --input-format (one of {FORMATS})") from exc
+        if names is None:  # a single remote file: sniff its own suffix
+            names = [path]
+        return _sniff(names)
+    if os.path.isdir(path):
+        return _sniff(os.listdir(path))
+    return _sniff([path])
 
 
 def _normalize_columns(df: DataFrame) -> DataFrame:
@@ -63,7 +105,7 @@ def _normalize_columns(df: DataFrame) -> DataFrame:
 
 def read_pages(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Open one source as the canonical pages frame (≈ ref open_box)."""
-    fmt = fmt or autodetect(path)
+    fmt = fmt or autodetect(path, spark=spark)
     if fmt == "parquet":
         return _normalize_columns(spark.read.parquet(path))
     if fmt == "json":

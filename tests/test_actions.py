@@ -138,3 +138,34 @@ def test_pointer_dedup_blocks_differing_bytes(spark):
     assert loose["u/diff"]["kept_url"] == "u/kept"
     assert not loose["u/diff"]["blocked_differing"]
     assert not loose["u/diff"]["is_canonical"]
+
+
+def test_move_discarded_end_to_end(final, tmp_path, spark):
+    """move = copy + rewritten source in ONE verb (verdict r2 #5, ref
+    move_mails action.py:94-117): the moved rows land at out_path, the
+    source rewrite at source_out_path holds everything else, and the two
+    partition the input (MAIL_MOVED accounting identity)."""
+    out = str(tmp_path / "moved")
+    src_out = str(tmp_path / "rewritten")
+    res = perform(final, "move-discarded", out, source_out_path=src_out)
+    moved = {r["url"] for r in spark.read.parquet(out).collect()}
+    kept = {r["url"] for r in spark.read.parquet(src_out).collect()}
+    everything = {r["url"] for r in final.select("url").collect()}
+    assert moved == {"u/dup-old"}
+    assert res["count"] == len(moved) == 1
+    assert moved | kept == everything and not (moved & kept)
+
+    # MAIL_MOVED identity holds through check_stats
+    from pysparkdedup.stats import Stat, check_stats, compute_stats
+
+    stats = compute_stats(final)
+    stats[Stat.MAIL_MOVED] = res["count"]
+    check_stats(stats, action="move-discarded")  # raises on mismatch
+
+
+def test_move_requires_source_out(final, tmp_path):
+    with pytest.raises(ValueError, match="source_out_path"):
+        perform(final, "move-selected", str(tmp_path / "x"))
+    # dry-run computes counts without requiring any paths
+    res = perform(final, "move-selected", dry_run=True)
+    assert res["written"] is False

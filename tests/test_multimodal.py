@@ -176,3 +176,54 @@ def test_with_media_meta_duplicate_urls_row_for_row(spark):
     assert out.count() == 2
     assert all(r["media_meta"]["mime"] == "application/octet-stream"
                for r in out.collect())
+
+
+def _make_png(width, height, value=128):
+    """Minimal valid grayscale PNG via stdlib zlib — lets the PIL-gated real
+    decode path run wherever Pillow exists, with no test asset files."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        raw = typ + data
+        return (struct.pack(">I", len(data)) + raw
+                + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    scanlines = b"".join(b"\x00" + bytes([value]) * width
+                         for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b""))
+
+
+def _have_pil():
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not _have_pil(), reason="Pillow not installed — the "
+                    "plug-in gate keeps real decode env-dependent")
+def test_extract_features_real_pil_decode(spark):
+    """With Pillow present, fake_decode=False decodes REAL pixels: a uniform
+    gray PNG yields a constant feature vector at value/255."""
+    from tests.conftest import PAGES_SCHEMA
+
+    png = _make_png(8, 8, value=100)
+    df = spark.createDataFrame([("u/png", ts(0), png, "x", "en")],
+                               schema=PAGES_SCHEMA)
+    row = extract_features(df, feature_dim=4, fake_decode=False).first()
+    assert row["feature"] == pytest.approx([100 / 255.0] * 4)
+
+
+@pytest.mark.skipif(not _have_pil(), reason="Pillow not installed")
+def test_resize_images_real_pil_resample(spark):
+    from pysparkdedup.multimodal import resize_images
+    from tests.conftest import PAGES_SCHEMA
+
+    png = _make_png(16, 8, value=30)
+    df = spark.createDataFrame([("u/png", ts(0), png, "x", "en")],
+                               schema=PAGES_SCHEMA)
+    row = resize_images(df, width=4, height=2, fake_decode=False).first()
+    assert (row["src_width"], row["src_height"]) == (16, 8)
+    assert row["resized"] == bytes([30] * 8)  # 4x2 raw grayscale bitmap

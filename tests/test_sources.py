@@ -43,3 +43,29 @@ def test_union_sources_self_dedup(spark, parquet_src):
     # registering the same source twice is a no-op (ref deduplicate.py:944-945)
     df = union_sources(spark, [parquet_src, parquet_src])
     assert df.count() == 2
+
+
+def test_autodetect_remote_uri_requires_session_or_format():
+    """Remote URIs cannot be os.listdir'd (verdict r2 #8): without a session
+    the sniff raises an explicit --input-format pointer, never an ENOENT."""
+    from pysparkdedup.sources import autodetect
+
+    with pytest.raises(ValueError, match="input-format"):
+        autodetect("s3a://bucket/prefix")
+
+
+def test_autodetect_remote_via_hadoop_fs(spark, tmp_path):
+    """With a session, remote-scheme paths list through the Hadoop
+    FileSystem API (file:// stands in for s3a:// — same code path)."""
+    from pysparkdedup.sources import autodetect
+
+    d = tmp_path / "webdata"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"")
+    assert autodetect(f"file://{d}", spark=spark) == "parquet"
+    (d / "part-0.parquet").unlink()
+    (d / "rows.jsonl").write_text("{}")
+    assert autodetect(f"file://{d}", spark=spark) == "json"
+    # unknown scheme surfaces as the explicit error, not a py4j stack bomb
+    with pytest.raises(ValueError, match="input-format"):
+        autodetect("nosuchscheme://x/y", spark=spark)
