@@ -173,6 +173,12 @@ def main(argv: list[str] | None = None) -> int:
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="pysparkdedup", master=args.master)
+    from contextlib import ExitStack
+
+    from .cache import cache_scope
+
+    stack = ExitStack()
+    stack.enter_context(cache_scope())
     try:
         from .sources import read_pages
 
@@ -230,6 +236,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats_out, indent=2))
         return 0
     finally:
+        # release every library-persisted frame of this run (cache.py) —
+        # matters when the session is caller-owned (daemon/notebook loops)
+        stack.close()
         if not preexisting:  # don't tear down a caller-owned session
             spark.stop()
 

@@ -10,15 +10,18 @@ Scale notes:
 - each iteration is one shuffle (edges joined to labels on src, min-agg on
   dst) — label frames are localCheckpoint()ed to truncate lineage so the plan
   does not grow with iterations;
-- convergence is detected with a count of changed labels (an O(n) agg, no
-  collect of data rows);
+- convergence detection is FUSED into the materialization: an ``observe``
+  (CollectMetrics) node sums changed labels during the checkpoint job, so no
+  second per-iteration count job exists — one job per iteration, full stop
+  (this is pure fixed-cost: it is what stops amortizing at small corpora,
+  see BENCH.md scaling analysis);
 - labels are min-url strings: deterministic at any parallelism, no
   64-bit-id collision risk at 10^12 nodes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -76,23 +79,27 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
         )
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("url", "src"), on="src")
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "url")
         )
-        # Checkpoint BEFORE the convergence count: the count and the next
-        # iteration both read `updated`, and without materialization the
-        # whole join would run twice per iteration.
-        updated = materialize(
+        # The changed-label sum rides the checkpoint job as an observe
+        # (CollectMetrics) node — convergence detection costs zero extra
+        # jobs/barriers per iteration (it used to be a second pass over the
+        # checkpointed blocks).
+        obs = Observation(f"cc_changed_{it}")
+        labels = materialize(
             labels.join(neighbor_min, on="url", how="left")
             .withColumn("new_label", F.least("label", F.col("nmin")))
-            .select("url", "label", "new_label")
+            .observe(obs, F.sum(
+                (F.col("new_label") != F.col("label")).cast("long")
+            ).alias("changed"))
+            .select("url", F.col("new_label").alias("label"))
         )
-        changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select("url", F.col("new_label").alias("label"))
+        changed = obs.get["changed"] or 0  # None on an empty frame
         if changed == 0:
             break
     else:

@@ -192,9 +192,12 @@ def minhash_edges(pages: DataFrame, cfg: DedupConfig,
     signatures (checkpoint.py) instead of recomputing — the resume path."""
     from pyspark import StorageLevel
 
+    from .cache import track
+
     if sigs is None:
         sigs = minhash_signatures(pages, cfg)
-    sigs = sigs.select("url", "minhash").persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track(
+        sigs.select("url", "minhash").persist(StorageLevel.MEMORY_AND_DISK))
     bands = lsh_bands(sigs, cfg)
     pairs = candidate_pairs(bands, cfg)
     scored = estimate_jaccard(pairs, sigs, cfg)
@@ -208,5 +211,11 @@ def minhash_clusters(pages: DataFrame, cfg: DedupConfig,
     Feed into pipeline.run_clustered; uncovered urls fall back to their exact
     content hash there.
     """
-    edges = minhash_edges(pages, cfg, sigs=sigs).select("a", "b")
-    return connected_components(edges)
+    from .cache import cache_scope
+
+    # The fixpoint materializes the edge input eagerly (localCheckpoint), so
+    # the signature/bucket-size caches are dead weight once it returns —
+    # release them instead of leaking one cached frame per invocation.
+    with cache_scope():
+        edges = minhash_edges(pages, cfg, sigs=sigs).select("a", "b")
+        return connected_components(edges)

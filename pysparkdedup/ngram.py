@@ -59,8 +59,10 @@ def jaccard_edges(df: DataFrame, k: int = 5, threshold: float = 0.8,
 
     # The posting list feeds the df-cut aggregation AND both self-join sides;
     # persist or the shingle computation runs three times.
+    from .cache import track
+
     posting = sh.select("_id", "_nsh", F.explode("shingles").alias("sh"))
-    posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+    posting = track(posting.persist(StorageLevel.MEMORY_AND_DISK))
     freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     hot = freq.filter(F.col("_df") > max_df).select("sh")
     posting = posting.join(F.broadcast(hot), "sh", "left_anti")

@@ -52,7 +52,9 @@ def bucket_pairs(
     # COLLIDING bucket) because both branches read it and Spark has no
     # DAG-level CSE — without it the aggregation over every bucket row runs
     # twice.
-    sizes = (
+    from .cache import track
+
+    sizes = track(
         ids.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bsize"))
         .filter(F.col("_bsize") >= 2)

@@ -96,10 +96,15 @@ def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
     # would ride every shuffle. Actions re-hydrate by url (ref mail.py:264-294).
     from pyspark import StorageLevel
 
+    from .cache import track
+
     ann = ann.drop("html")
     # Materialize once: guards' verdict branch and the main spine both read
-    # this frame, and Spark recomputes shared subtrees.
-    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    # this frame, and Spark recomputes shared subtrees. Scope-released only
+    # (cache.track): the RETURNED final frame still reads this cache, so it
+    # must outlive the caller's materialization — wrap the whole unit of
+    # work in cache.cache_scope() (as cli.main does) to reclaim it.
+    ann = track(ann.persist(StorageLevel.MEMORY_AND_DISK))
 
     # One linear plan, no branch-and-union (each branch would recompute the
     # whole upstream): rejected rows carry their own url as cluster_key so

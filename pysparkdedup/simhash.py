@@ -105,9 +105,12 @@ def simhash_edges(pages: DataFrame, cfg: DedupConfig,
     of recomputing — the resume path."""
     from pyspark import StorageLevel
 
+    from .cache import track
+
     if sigs is None:
         sigs = simhash_signatures(pages)
-    sigs = sigs.select("url", "simhash").persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track(
+        sigs.select("url", "simhash").persist(StorageLevel.MEMORY_AND_DISK))
     blocks = simhash_blocks(sigs, cfg)
     pairs = bucket_pairs(
         blocks, ["block_id", "block_val"], id_col="url", cap=cfg.max_bucket_size
@@ -127,5 +130,10 @@ def simhash_edges(pages: DataFrame, cfg: DedupConfig,
 def simhash_clusters(pages: DataFrame, cfg: DedupConfig,
                      sigs: DataFrame | None = None) -> DataFrame:
     """(url, cluster_key) for SimHash components — feed pipeline.run_clustered."""
-    return connected_components(
-        simhash_edges(pages, cfg, sigs=sigs).select("a", "b"))
+    from .cache import cache_scope
+
+    # The fixpoint materializes the edges eagerly; release the signature /
+    # bucket-size caches on return (see cache.py).
+    with cache_scope():
+        return connected_components(
+            simhash_edges(pages, cfg, sigs=sigs).select("a", "b"))

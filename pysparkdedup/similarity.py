@@ -169,12 +169,16 @@ def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
 def embedding_dup_clusters(emb: DataFrame, threshold: float = 0.95,
                            **kwargs) -> DataFrame:
     """(vec_id-as-url, cluster_key) components over embedding_dup_edges."""
+    from .cache import cache_scope
     from .components import connected_components
 
-    edges = embedding_dup_edges(emb, threshold, **kwargs).select(
-        F.col("a").cast("string").alias("a"),
-        F.col("b").cast("string").alias("b"))
-    return connected_components(edges)
+    # Fixpoint materializes edges eagerly; release bucket-size caches on
+    # return (see cache.py).
+    with cache_scope():
+        edges = embedding_dup_edges(emb, threshold, **kwargs).select(
+            F.col("a").cast("string").alias("a"),
+            F.col("b").cast("string").alias("b"))
+        return connected_components(edges)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

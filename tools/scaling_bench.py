@@ -19,8 +19,11 @@ The job is the flagship near-dup pipeline: MinHash signatures -> LSH bands ->
 skew-aware candidate pairs -> Jaccard verify -> union-find components ->
 content-hash pipeline tail (guards + strategy cascade + labeling).
 
-Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus]
+Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [runs]
 Writes bench_scaling.json and prints a markdown row for BASELINE.md.
+``runs`` (default 3) = timed repetitions per level, best-of-N; 2 is enough
+at multi-M-doc corpus sizes where a run is minutes long and co-tenant noise
+averages out within the run.
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ def _job(spark, path: str):
     return int(row["n"]), int(row["crc"])
 
 
-def worker(cpus: int) -> None:
+def worker(cpus: int, runs: int = 3) -> None:
     from pysparkdedup.session import get_spark
 
     spark = get_spark(
@@ -89,7 +92,7 @@ def worker(cpus: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _job(spark, WARMUP)  # un-timed warmup: JIT, codegen, python workers
     best = None
-    for _ in range(3):  # best-of-3: the sandbox host has co-tenant noise
+    for _ in range(runs):  # best-of-N: the sandbox host has co-tenant noise
         t0 = time.perf_counter()
         n, crc = _job(spark, CORPUS)
         elapsed = time.perf_counter() - t0
@@ -102,11 +105,13 @@ def worker(cpus: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]))
+        worker(int(sys.argv[2]),
+               runs=int(sys.argv[3]) if len(sys.argv) > 3 else 3)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     print(f"generating corpus n={n} -> {CORPUS}")
     build_input(n)
@@ -114,7 +119,8 @@ def main() -> None:
     results = {}
     for cpus in (low, high):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus), str(runs)],
             capture_output=True, text=True, cwd=REPO, check=False)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
@@ -129,6 +135,7 @@ def main() -> None:
         "n_docs": n,
         "low_cpus": low,
         "high_cpus": high,
+        "runs_per_level": runs,
         "results": {str(k): v for k, v in results.items()},
         "speedup": round(t_low / t_high, 3),
         "scaling_efficiency": round((t_low / t_high) / ratio, 3),
