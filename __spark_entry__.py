@@ -575,12 +575,28 @@ def _q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.explode("fingerprints").alias("fp"))
 
 
+def _q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignments (similarity.hyperplane_buckets) — fully
+    oracle-checked: the Rademacher plane entries are the parity of a
+    Mersenne-31 universal hash of (table, bit, dim), so DuckDB recomputes
+    the exact bucket integers from the (a, b) literals
+    (_emb_bucket_ctes)."""
+    from pysparkdedup.similarity import hyperplane_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hyperplane_buckets(emb, n_tables=4, n_bits=8).select(
+        "vec_id", "table_id", "bucket")
+
+
 def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH approximate nearest neighbor (similarity.py) — rows-only."""
+    """Sign-LSH approximate nearest neighbor (similarity.lsh_topk) — fully
+    oracle-checked: DuckDB replays the hash-deterministic buckets, the
+    cold-bucket (<= max_bucket) candidate join, and the exact-cosine
+    re-rank."""
     from pysparkdedup.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.limit(20).select(
+    queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return lsh_topk(emb, queries, k=3, n_tables=16, n_bits=6).select(
         "query_id", "vec_id", "rank")
@@ -619,11 +635,15 @@ def _q_embedding_top1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup clusters (similarity.py) — rows-only check
-    (no planted duplicate vectors exist, so the threshold sits at the top of
-    the random-cosine tail — max off-diagonal cosine is ~0.51 at sf0.01 — so
-    the full bucket->verify->components path produces a small non-empty
-    result)."""
+    """Embedding-cosine near-dup clusters (similarity.py) — fully
+    oracle-checked: DuckDB replays the hash-deterministic sign-LSH buckets,
+    the cold-path pairwise candidates (max bucket is 19 at sf0.01, far
+    under the 256 cap, so the salted-star degrade path never fires and the
+    cap filter in the SQL is inert-but-faithful), the exact-cosine >=
+    threshold verify, and the min-label union-find as a recursive-CTE
+    transitive closure. No planted duplicate vectors exist, so the 0.35
+    threshold sits at the top of the random-cosine tail and yields a small
+    non-empty edge set."""
     from pysparkdedup.similarity import embedding_dup_clusters
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -669,12 +689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": _q_winnow_fingerprints_docs,
         "minhash_sigs_docs": _q_minhash_sigs_docs,
         "simhash_sigs_docs": _q_simhash_sigs_docs,
-        # rows-only (iterative greedy eviction, union-find fixpoints,
-        # RNG-hyperplane sign-LSH)
-        "guards_eviction_docs": _q_guards_eviction_docs,
-        "minhash_clusters_docs": _q_minhash_clusters_docs,
+        "embedding_lsh_buckets": _q_embedding_lsh_buckets,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "minhash_clusters_docs": _q_minhash_clusters_docs,
+        # rows-only (iterative greedy eviction over pairwise ndiff counts —
+        # not SQL-expressible)
+        "guards_eviction_docs": _q_guards_eviction_docs,
     }
 
 
@@ -853,6 +874,141 @@ def _minhash_clusters_oracle_sql() -> str:
             SELECT a AS src, b AS dst FROM edges
             UNION ALL
             SELECT b AS src, a AS dst FROM edges
+        ),
+        walk(node, label) AS (
+            SELECT dst, dst FROM sym
+            UNION
+            SELECT s.dst, w.label FROM sym s JOIN walk w ON s.src = w.node
+        )
+        SELECT node AS url, 'cc:' || min(label) AS cluster_key
+        FROM walk GROUP BY node
+    """
+
+
+def _emb_bucket_ctes(n_tables: int, n_bits: int, seed: int = 42) -> str:
+    """DuckDB CTE chain replaying similarity.hyperplane_buckets bit-exactly.
+
+    The plane entry for (table t, bit j, 1-based dim d) is +1 when
+    ((a[t,j]*d + b[t,j]) mod 2^31-1) is even, else -1 — the ACTUAL seeded
+    coefficients (similarity.plane_coeffs) embedded as literals, the same
+    trick as the minhash permutation oracle. Ends with table
+    ``ebuckets(vec_id, table_id, bucket)``."""
+    from pysparkdedup.similarity import _PLANE_M, plane_coeffs
+
+    a, b = plane_coeffs(n_tables, n_bits, seed)
+    rows = ", ".join(
+        f"({t},{j},{int(a[t, j])},{int(b[t, j])})"
+        for t in range(n_tables) for j in range(n_bits))
+    return f"""
+        ev AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+                   generate_subscripts(embedding, 1) AS d
+            FROM embeddings
+        ), eproj AS (
+            SELECT ev.vec_id, p.t, p.j,
+                   SUM(ev.val * (CASE WHEN ((p.pa * ev.d + p.pb)
+                                            % {_PLANE_M}) % 2 = 0
+                                 THEN 1 ELSE -1 END)) AS dot
+            FROM ev, (VALUES {rows}) AS p(t, j, pa, pb)
+            GROUP BY 1, 2, 3
+        ), ebuckets AS (
+            SELECT vec_id, t::INTEGER AS table_id,
+                   SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                       ELSE 0::BIGINT END)::BIGINT AS bucket
+            FROM eproj GROUP BY 1, 2
+        )"""
+
+
+_DUCK_COSINE = """list_dot_product({x}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])
+               / (sqrt(list_dot_product({x}.embedding::DOUBLE[], {x}.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product({y}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])))"""
+
+
+def _emb_buckets_oracle_sql() -> str:
+    """Bucket values hash-checked (see _emb_bucket_ctes)."""
+    return (f"WITH {_emb_bucket_ctes(4, 8)} "
+            "SELECT vec_id, table_id, bucket FROM ebuckets")
+
+
+def _emb_ann_top1_oracle_sql() -> str:
+    """DuckDB replay of similarity.lsh_topk: shared hash-deterministic
+    buckets for corpus and queries (vec_id < 20), corpus buckets over
+    max_bucket=4096 dropped (inert at sf0.01 — max bucket is 19 — but
+    faithful to the skew guard), distinct candidates, exact-cosine re-rank
+    with (cosine DESC, vec_id ASC) ties, k=3."""
+    cos = _DUCK_COSINE.format(x="qe", y="ce")
+    return f"""
+        WITH {_emb_bucket_ctes(16, 6)},
+        bsizes AS (
+            SELECT table_id, bucket, count(*) AS _bsize
+            FROM ebuckets GROUP BY 1, 2
+        ),
+        cold AS (
+            SELECT eb.* FROM ebuckets eb
+            JOIN bsizes s ON s.table_id = eb.table_id AND s.bucket = eb.bucket
+            WHERE s._bsize <= 4096
+        ),
+        cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id
+            FROM ebuckets q
+            JOIN cold c ON c.table_id = q.table_id AND c.bucket = q.bucket
+            WHERE q.vec_id < 20
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id, {cos} AS cosine
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        )
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC)
+                       ::INTEGER AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """
+
+
+def _emb_dup_clusters_oracle_sql() -> str:
+    """DuckDB replay of similarity.embedding_dup_clusters: buckets ->
+    cold-path pairwise candidates (bucket size in [2, 256] — the star
+    degrade path never fires at sf0.01, max bucket 19) -> exact-cosine >=
+    0.35 verify -> min-label union-find as a recursive-CTE transitive
+    closure (same fixpoint components.py runs; vec_ids compare as strings
+    there, and min over VARCHAR is the same lexicographic order)."""
+    cos = _DUCK_COSINE.format(x="ea", y="eb")
+    return f"""
+        WITH RECURSIVE {_emb_bucket_ctes(16, 6)},
+        bsizes AS (
+            SELECT table_id, bucket, count(*) AS _bsize
+            FROM ebuckets GROUP BY 1, 2
+        ),
+        coldb AS (
+            SELECT table_id, bucket FROM bsizes
+            WHERE _bsize >= 2 AND _bsize <= 256
+        ),
+        cand AS (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM coldb
+            JOIN ebuckets x ON x.table_id = coldb.table_id
+                           AND x.bucket = coldb.bucket
+            JOIN ebuckets y ON y.table_id = coldb.table_id
+                           AND y.bucket = coldb.bucket
+                           AND x.vec_id < y.vec_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT cand.a, cand.b FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.a
+            JOIN embeddings eb ON eb.vec_id = cand.b
+            WHERE {cos} >= 0.35
+        ),
+        sym AS (
+            SELECT a::VARCHAR AS src, b::VARCHAR AS dst FROM edges
+            UNION ALL
+            SELECT b::VARCHAR AS src, a::VARCHAR AS dst FROM edges
         ),
         walk(node, label) AS (
             SELECT dst, dst FROM sym
@@ -1191,6 +1347,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
+        "embedding_lsh_buckets": _emb_buckets_oracle_sql(),
+        "embedding_ann_top1": _emb_ann_top1_oracle_sql(),
+        "embedding_dup_clusters": _emb_dup_clusters_oracle_sql(),
         "winnow_fingerprints_docs": r"""
             WITH codes AS (
                 SELECT doc_id::VARCHAR AS url,

@@ -106,11 +106,49 @@ def cosine_topk(corpus: DataFrame, queries_pdf: pd.DataFrame, k: int = 10,
     )
 
 
+_PLANE_M = (1 << 31) - 1  # Mersenne prime 2^31-1, same family as minhash.py
+
+
+def plane_coeffs(n_tables: int, n_bits: int,
+                 seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash coefficients (a, b), one pair per (table, bit).
+
+    The hyperplanes are Rademacher (+-1 entries), derived from the parity of
+    h(d) = (a*d + b) mod (2^31-1) over the 1-based embedding dimension d —
+    sign-LSH with +-1 projections is the classic SimHash construction
+    (Charikar, STOC'02) and +-1 entries are a valid random projection
+    (Achlioptas, PODS'01: database-friendly sparse projections). Making the
+    entries a *hash of (table, bit, dim)* rather than an RNG stream buys two
+    things a 10^12-doc pipeline needs: any executor can regenerate any plane
+    without broadcasting O(n_tables*dim*n_bits) floats, and the buckets are
+    replayable in plain SQL (the DuckDB oracle embeds these (a, b) as
+    literals — same trick as the minhash permutation oracle)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _PLANE_M, size=(n_tables, n_bits), dtype=np.int64)
+    b = rng.integers(0, _PLANE_M, size=(n_tables, n_bits), dtype=np.int64)
+    return a, b
+
+
+def plane_signs(n_tables: int, n_bits: int, dim: int,
+                seed: int = 42) -> np.ndarray:
+    """(n_tables, dim, n_bits) array of {-1.0, +1.0} plane entries."""
+    a, b = plane_coeffs(n_tables, n_bits, seed)
+    d = np.arange(1, dim + 1, dtype=np.int64)  # 1-based, matches the oracle's
+    # generate_subscripts(embedding, 1); a*d < 2^31 * dim fits int64
+    h = (a[:, None, :] * d[None, :, None] + b[:, None, :]) % _PLANE_M
+    return np.where((h & 1) == 0, 1.0, -1.0)
+
+
 def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
                        dim: int | None = None, seed: int = 42,
                        id_col: str = "vec_id",
                        emb_col: str = "embedding") -> DataFrame:
-    """(id, table_id, bucket): sign-LSH bucket per table — numpy batched."""
+    """(id, table_id, bucket): sign-LSH bucket per table — numpy batched.
+
+    Planes are hash-deterministic Rademacher projections (``plane_signs``):
+    regenerated locally inside each Arrow batch worker from (seed, shape)
+    alone — nothing is broadcast, and the DuckDB oracle replays the exact
+    bucket values from the same (a, b) literals."""
     schema = T.StructType([
         T.StructField("_id", T.LongType(), False),
         T.StructField("table_id", T.IntegerType(), False),
@@ -125,9 +163,8 @@ def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
                 continue
             mat = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
             if "planes" not in state:
-                rng = np.random.default_rng(seed)
-                state["planes"] = rng.standard_normal(
-                    (n_tables, mat.shape[1], n_bits))
+                state["planes"] = plane_signs(
+                    n_tables, n_bits, mat.shape[1], seed)
             planes = state["planes"]
             ids = pdf[id_col].to_numpy()
             frames = []

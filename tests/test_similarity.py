@@ -133,3 +133,28 @@ def test_lsh_topk_caps_dense_buckets(spark):
                         max_bucket=100000).collect()
     q0 = {r["vec_id"] for r in uncapped if r["query_id"] == 0}
     assert 0 in q0
+
+
+def test_plane_signs_hash_deterministic():
+    """Rademacher plane entries are a pure hash of (table, bit, dim): exact
+    +-1 values, reproducible from (seed, shape) alone — no RNG stream state,
+    so any executor (and the DuckDB oracle) regenerates them independently."""
+    from pysparkdedup.similarity import _PLANE_M, plane_coeffs, plane_signs
+
+    s1 = plane_signs(4, 8, 64, seed=42)
+    s2 = plane_signs(4, 8, 64, seed=42)
+    assert s1.shape == (4, 64, 8)
+    assert np.array_equal(s1, s2)
+    assert set(np.unique(s1)) == {-1.0, 1.0}
+    assert not np.array_equal(s1, plane_signs(4, 8, 64, seed=7))
+
+    # spot-check the per-element formula the oracle SQL replays
+    a, b = plane_coeffs(4, 8, seed=42)
+    for t, j, d in [(0, 0, 1), (3, 7, 64), (1, 4, 33)]:
+        expect = 1.0 if ((int(a[t, j]) * d + int(b[t, j])) % _PLANE_M) % 2 == 0 else -1.0
+        assert s1[t, d - 1, j] == expect
+
+    # a prefix of tables is stable under widening n_tables (coeffs are drawn
+    # per-(table,bit) grid, so only assert self-consistency of dims)
+    wide = plane_signs(4, 8, 128, seed=42)
+    assert np.array_equal(wide[:, :64, :], s1)
