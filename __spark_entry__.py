@@ -588,6 +588,21 @@ def _q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "table_id", "bucket")
 
 
+def _q_embedding_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor (similarity.ivf_topk) — fully
+    oracle-checked: centroids are the n_list corpus vectors with the
+    smallest Mersenne-31 hash of vec_id (literals in the SQL), inverted-list
+    assignment and nprobe probing rank by (cosine DESC, list_id ASC), exact
+    cosine re-ranks candidates."""
+    from pysparkdedup.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=3, n_list=16, nprobe=4).select(
+        "query_id", "vec_id", "rank")
+
+
 def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate nearest neighbor (similarity.lsh_topk) — fully
     oracle-checked: DuckDB replays the hash-deterministic buckets, the
@@ -690,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs_docs": _q_minhash_sigs_docs,
         "simhash_sigs_docs": _q_simhash_sigs_docs,
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
+        "embedding_ivf_top1": _q_embedding_ivf_top1,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
@@ -953,6 +969,56 @@ def _emb_ann_top1_oracle_sql() -> str:
             FROM ebuckets q
             JOIN cold c ON c.table_id = q.table_id AND c.bucket = q.bucket
             WHERE q.vec_id < 20
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id, {cos} AS cosine
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        )
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC)
+                       ::INTEGER AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """
+
+
+def _emb_ivf_top1_oracle_sql() -> str:
+    """DuckDB replay of similarity.ivf_topk: hash-sampled centroids (the
+    n_list=16 smallest (a*(vec_id mod M)+b) mod M, M=2^31-1, with the
+    ACTUAL seeded (a, b) as literals), corpus assigned to its 1 nearest
+    list and queries (vec_id < 20) to their nprobe=4 nearest lists by
+    (cosine DESC, list_id ASC), exact-cosine re-rank, k=3."""
+    from pysparkdedup.similarity import _PLANE_M, plane_coeffs
+
+    a, b = (int(x[0, 0]) for x in plane_coeffs(1, 1, seed=42))
+    cos_cent = _DUCK_COSINE.format(x="e", y="c")
+    cos = _DUCK_COSINE.format(x="qe", y="ce")
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS list_id, embedding FROM embeddings
+            ORDER BY ({a} * (vec_id % {_PLANE_M}) + {b}) % {_PLANE_M}, vec_id
+            LIMIT 16
+        ),
+        ranked AS (
+            SELECT e.vec_id, c.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_cent} DESC, c.list_id ASC) AS rn
+            FROM embeddings e, cent c
+        ),
+        corpus_lists AS (SELECT vec_id, list_id FROM ranked WHERE rn = 1),
+        query_lists AS (
+            SELECT vec_id AS query_id, list_id FROM ranked
+            WHERE rn <= 4 AND vec_id < 20
+        ),
+        cand AS (
+            SELECT q.query_id, cl.vec_id
+            FROM query_lists q JOIN corpus_lists cl USING (list_id)
             GROUP BY 1, 2
         ),
         scored AS (
@@ -1348,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
         "embedding_lsh_buckets": _emb_buckets_oracle_sql(),
+        "embedding_ivf_top1": _emb_ivf_top1_oracle_sql(),
         "embedding_ann_top1": _emb_ann_top1_oracle_sql(),
         "embedding_dup_clusters": _emb_dup_clusters_oracle_sql(),
         "winnow_fingerprints_docs": r"""

@@ -6,9 +6,13 @@ Two paths over an ``array<float>`` embedding column:
   per-partition partial top-k with one numpy matmul per Arrow batch, then a
   global top-k window. Correct at any scale where queries fit in memory; the
   corpus side streams.
-- ``lsh_topk`` — scale path: random-hyperplane (sign) LSH buckets corpus and
-  queries; candidates share >= 1 of ``n_tables`` bucket keys; exact cosine is
-  then computed only for candidates. Recall is tunable with n_tables/n_bits.
+- ``lsh_topk`` — scale path: hash-deterministic Rademacher sign-LSH buckets
+  corpus and queries; candidates share >= 1 of ``n_tables`` bucket keys;
+  exact cosine is then computed only for candidates. Recall is tunable with
+  n_tables/n_bits.
+- ``ivf_topk`` — second scale path: IVF inverted lists under hash-sampled
+  centroids (``ivf_centroids``), queries probe ``nprobe`` lists; recall is
+  tunable with n_list/nprobe and candidates are bounded by list sizes.
 
 Also ``cosine_pairs_exact`` — column-algebra cosine between explicit id pairs
 (used by the embedding near-dup detector and the DuckDB oracle: deterministic
@@ -216,6 +220,107 @@ def embedding_dup_clusters(emb: DataFrame, threshold: float = 0.95,
             F.col("a").cast("string").alias("a"),
             F.col("b").cast("string").alias("b"))
         return connected_components(edges)
+
+
+def ivf_centroids(corpus: DataFrame, n_list: int = 16, seed: int = 42,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF coarse-quantizer centroids: the ``n_list`` corpus
+    vectors with the smallest Mersenne-31 hash of their id.
+
+    Classic IVF (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI'11) k-means-trains the coarse quantizer; hash-ranked
+    *sampled* centroids are the zero-iteration variant — statistically a
+    uniform random sample (the hash is a fixed random permutation of ids),
+    so expected list sizes are balanced for non-adversarial corpora, and the
+    selection is (a) a cheap distributed top-k (TakeOrdered, no shuffle of
+    the data rows) and (b) exactly replayable in SQL for the oracle. A
+    Lloyd-refinement pass can be layered on top without changing the search
+    path; the contract pins the sampled variant.
+    """
+    a, b = (int(x[0, 0]) for x in plane_coeffs(1, 1, seed))
+    h = F.pmod(F.lit(a) * F.pmod(F.col(id_col), F.lit(_PLANE_M)) + F.lit(b),
+               F.lit(_PLANE_M))
+    return (
+        corpus.select(F.col(id_col).alias("list_id"),
+                      F.col(emb_col).alias("centroid"),
+                      h.alias("_h"))
+        .orderBy("_h", "list_id").limit(n_list).drop("_h")
+    )
+
+
+def _ivf_assign(df: DataFrame, cent_pdf: pd.DataFrame, nprobe: int,
+                id_col: str, emb_col: str, out_id: str) -> DataFrame:
+    """(out_id, list_id): the ``nprobe`` nearest centroids by
+    (cosine DESC, list_id ASC) — numpy batched, centroids broadcast."""
+    spark = df.sparkSession
+    c_ids = cent_pdf["list_id"].to_numpy()
+    c_mat = np.vstack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
+    c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(c_ids)  # tie-break on list_id: pre-sort, stable sort
+    c_ids, c_mat = c_ids[order], c_mat[order]
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    schema = T.StructType([
+        T.StructField(out_id, T.LongType(), False),
+        T.StructField("list_id", T.LongType(), False),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        np_ = min(nprobe, len(ids))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy()
+            v = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ mat.T  # (batch, n_list); ids ascending -> stable
+            # argsort keeps list_id-ASC order among exact cosine ties
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame({
+                out_id: np.repeat(vids, np_),
+                "list_id": ids[top].ravel(),
+            })
+
+    return df.select(id_col, emb_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_list: int = 16, nprobe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under their
+    nearest sampled centroid (``ivf_centroids``); each query probes its
+    ``nprobe`` nearest lists and exact cosine re-ranks the candidates.
+
+    The scale shape mirrors lsh_topk: centroids are a broadcast-sized frame
+    (n_list ~ sqrt(n) at most), assignment is one Arrow-batched map over the
+    corpus (no shuffle), and the candidate join is an equi-join on list_id
+    whose fan-in is bounded by the list sizes — a hash-sampled quantizer
+    keeps expected list size n/n_list, and a skewed corpus degrades to at
+    worst nprobe lists per query, never a cross join."""
+    cent_pdf = ivf_centroids(corpus, n_list, seed,
+                             id_col=id_col, emb_col=emb_col).toPandas()
+    corpus_lists = _ivf_assign(corpus, cent_pdf, 1, id_col, emb_col, id_col)
+    query_lists = _ivf_assign(queries, cent_pdf, nprobe,
+                              "query_id", emb_col, "query_id")
+    cand = (
+        query_lists.join(corpus_lists, "list_id")
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    qe = queries.select("query_id", F.col(emb_col).alias("_qe"))
+    ce = corpus.select(id_col, F.col(emb_col).alias("_ce"))
+    scored = (
+        cand.join(qe, "query_id").join(ce, id_col)
+        .withColumn("cosine", cosine_col(F.col("_qe"), F.col("_ce")))
+        .select("query_id", id_col, "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

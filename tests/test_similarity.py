@@ -158,3 +158,27 @@ def test_plane_signs_hash_deterministic():
     # per-(table,bit) grid, so only assert self-consistency of dims)
     wide = plane_signs(4, 8, 128, seed=42)
     assert np.array_equal(wide[:, :64, :], s1)
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    """IVF path: self always found (a query probes its own list first);
+    partial recall vs exact; centroid selection is a pure hash of vec_id."""
+    from pysparkdedup.similarity import ivf_centroids, ivf_topk
+
+    c1 = [r["list_id"] for r in ivf_centroids(emb, 8).collect()]
+    c2 = [r["list_id"] for r in ivf_centroids(emb, 8).collect()]
+    assert sorted(c1) == sorted(c2) and len(set(c1)) == 8
+
+    emb_pdf = emb.toPandas()
+    queries_pdf = emb_pdf.head(10).rename(columns={"vec_id": "query_id"})[
+        ["query_id", "embedding"]]
+    queries = spark.createDataFrame(queries_pdf)
+    approx = ivf_topk(emb, queries, k=5, n_list=16, nprobe=4)
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in by_q:
+        assert qid in by_q[qid]  # own list is always probed (cosine = 1)
+    exact = _numpy_topk(emb_pdf, queries_pdf["query_id"].tolist(), 5)
+    overlaps = [len(by_q.get(q, set()) & exact[q]) / 5 for q in exact]
+    assert sum(overlaps) / len(overlaps) >= 0.3  # nprobe 4/16 of the corpus
