@@ -108,3 +108,16 @@ def test_ngram_posting_join_is_hash_join(spark, pages_factory):
     plan = plan_of(jaccard_edges(df, k=5, threshold=0.5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_candidate_join_is_equi_join(spark):
+    """ivf_topk's list_id candidate join and cosine re-rank joins must be
+    hash equi-joins — no cartesian/nested loop anywhere in the ANN plan."""
+    from pysparkdedup.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(ivf_topk(emb, q, k=3, n_list=8, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
