@@ -79,7 +79,7 @@ def perform(final: DataFrame, action: str, out_path: str | None = None,
             final.unpersist()
 
 
-EXPORT_FORMATS = ("parquet", "json", "csv")
+EXPORT_FORMATS = ("parquet", "json", "csv", "table")
 
 
 def _write(df: DataFrame, out_path: str, fmt: str, append: bool) -> None:
@@ -87,6 +87,28 @@ def _write(df: DataFrame, out_path: str, fmt: str, append: bool) -> None:
         raise ValueError(f"unknown export format: {fmt!r} "
                          f"(one of {EXPORT_FORMATS})")
     mode = "append" if append else "overwrite"
+    if fmt == "table":
+        # Catalog-table sink via the DataFrameWriterV2 API: against an
+        # Iceberg catalog this is an Iceberg snapshot commit (the ref's
+        # one-transaction export, mail_box.py:490-511); against the builtin
+        # catalog it is an atomic table swap. out_path is a table
+        # identifier, not a filesystem path.
+        from pyspark.errors import AnalysisException
+
+        try:
+            if append and df.sparkSession.catalog.tableExists(out_path):
+                df.writeTo(out_path).append()
+            else:
+                df.writeTo(out_path).createOrReplace()
+        except AnalysisException as exc:
+            # The builtin V2SessionCatalog lacks atomic REPLACE TABLE AS
+            # SELECT and rejects V2 appends into V1-provider tables
+            # (Iceberg supports both); fall back to the V1 writer there.
+            if ("UNSUPPORTED_FEATURE" not in str(exc)
+                    and "v1 table" not in str(exc)):
+                raise
+            df.write.mode(mode).saveAsTable(out_path)
+        return
     if fmt == "csv":
         # CSV has no binary cells: payload travels base64-encoded (the json
         # writer base64s binary natively).

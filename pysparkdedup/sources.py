@@ -24,7 +24,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FORMATS = ("parquet", "json", "csv", "files")
+FORMATS = ("parquet", "json", "csv", "files", "table")
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
 
@@ -106,6 +106,11 @@ def _normalize_columns(df: DataFrame) -> DataFrame:
 def read_pages(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Open one source as the canonical pages frame (≈ ref open_box)."""
     fmt = fmt or autodetect(path, spark=spark)
+    if fmt == "table":
+        # Catalog table (never sniffed — identifiers aren't paths): against
+        # an Iceberg catalog this is an Iceberg snapshot scan with partition
+        # pruning/time travel; against the builtin catalog a managed table.
+        return _normalize_columns(spark.read.table(path))
     if fmt == "parquet":
         return _normalize_columns(spark.read.parquet(path))
     if fmt == "json":

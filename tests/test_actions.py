@@ -107,6 +107,29 @@ def test_export_append(final, tmp_path):
     assert got.count() == 4
 
 
+def test_export_table_roundtrip(final, spark):
+    """Catalog-table sink/source (the Iceberg path wherever an Iceberg
+    catalog is configured; the builtin catalog locally): copy-selected ->
+    writeTo(identifier), read back via read_pages(fmt="table"), append
+    commits a second snapshot."""
+    from pysparkdedup.sources import read_pages
+
+    tbl = "pysparkdedup_export_rt"
+    try:
+        res = perform(final, "copy-selected", tbl, fmt="table")
+        assert res["written"] is True
+        got = read_pages(spark, tbl, fmt="table")
+        assert got.count() == 2
+        assert set(got.columns) == {"url", "warc_ts", "html", "text", "lang"}
+        perform(final, "copy-selected", tbl, fmt="table", append=True)
+        assert spark.read.table(tbl).count() == 4
+        # non-append overwrites: back to one snapshot's worth of rows
+        perform(final, "copy-selected", tbl, fmt="table")
+        assert spark.read.table(tbl).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_export_unknown_format(final, tmp_path):
     with pytest.raises(ValueError, match="unknown export format"):
         perform(final, "copy-selected", str(tmp_path / "x"), fmt="mbox")
