@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True,
                    help="source path with (url, warc_ts, html, text, lang)")
     p.add_argument("--input-format", default=None,
-                   choices=["parquet", "json", "csv", "files"],
+                   choices=["parquet", "json", "csv", "files", "table"],
                    help="source format; autodetected when omitted "
                         "(ref --input-format / autodetect_box_type, "
                         "mail_box.py:353-397)")
@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="signature checkpoint dir (anti-join resume)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--export-format", default="parquet",
-                   choices=["parquet", "json", "csv"],
+                   choices=["parquet", "json", "csv", "table"],
                    help="export box format (ref mail_box.py:490-511)")
     p.add_argument("--export-append", action="store_true",
                    help="append to an existing export (ref cli.py:501)")
