@@ -348,22 +348,30 @@ def _q_strip_angle_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
                           with_ts: bool = False) -> DataFrame:
-    """One strategy as its window predicate over events/user_id, built by the
-    strategy module's own registry (strategy._predicate, ref strategy.py:56-193)."""
-    from pyspark.sql import Window
-
+    """One strategy as its group-extremes predicate over events/user_id, built
+    by the strategy module's own registry (strategy._predicate, ref
+    strategy.py:56-193); extremes come from the sharded groupBy + join-back
+    path (groupagg.with_group_stats), same as the pipeline."""
+    from pysparkdedup.groupagg import with_group_stats
     from pysparkdedup.strategy import _predicate
 
     e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id")
-    rn = F.row_number().over(w.orderBy("event_id"))
-    pred = _predicate(name, w, F.col("ts"), F.col("value"),
-                      F.col("event_id").cast("string"), rn, None, F.lit(True))
+    j = with_group_stats(e, "user_id", [
+        F.min("ts").alias("_min_ts"), F.max("ts").alias("_max_ts"),
+        F.min("value").alias("_min_size"), F.max("value").alias("_max_size"),
+        F.min("event_id").alias("_min_id"),
+    ])
+    g = {"min_ts": F.col("_min_ts"), "max_ts": F.col("_max_ts"),
+         "min_size": F.col("_min_size"), "max_size": F.col("_max_size"),
+         # min over the LONG id, cast for the string-typed url slot: keeps
+         # the historical numeric tie-break of the rn-ordered variant.
+         "min_url": F.col("_min_id").cast("string")}
+    pred = _predicate(name, F.col("ts"), F.col("value"),
+                      F.col("event_id").cast("string"), None, g)
     cols = ["event_id", "user_id"]
     if with_ts:
         cols.append(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
-    # window expressions must materialize as a column before the filter
-    return e.withColumn("_sel", pred).filter(F.col("_sel")).select(*cols)
+    return j.filter(pred).select(*cols)
 
 
 def _q_select_older_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,16 +407,12 @@ def _q_select_all_but_one_per_user(spark: SparkSession, sf_dir: str) -> DataFram
 
 def _path_strategy_over_docs(name: str, spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pysparkdedup.strategy import _predicate
 
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang")
-    rn = F.row_number().over(w.orderBy("doc_id"))
-    pred = _predicate(name, w, F.lit(None).cast("timestamp"),
-                      F.col("n_chars"), F.col("source"), rn,
-                      "^src1[0-9]$", F.lit(True))
+    # Path predicates are pure row-level regexp tests — no group extremes.
+    pred = _predicate(name, F.lit(None).cast("timestamp"),
+                      F.col("n_chars"), F.col("source"), "^src1[0-9]$", {})
     return d.select("doc_id", "source", pred.alias("selected"))
 
 

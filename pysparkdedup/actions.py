@@ -17,9 +17,10 @@ MAIL_COPIED/MOVED/DELETED identities (ref deduplicate.py:1369-1390).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .groupagg import with_group_stats
 from .pipeline import discarded, selection
 
 PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
@@ -174,7 +175,8 @@ def pointer_dedup(final: DataFrame,
     points at the deterministic min-url kept row of its set — the table
     analog of replacing a file with a hardlink to the kept copy (link target
     = min kept mail, ref deduplicate.py:1140-1170, min at :1168).
-    Window-only, no join.
+    Sharded groupBy + join-back (groupagg), never a single-task WindowExec —
+    a mega-set's kept-row lookup is map-side combined and AQE-splittable.
 
     Reference parity: hardlinking a duplicate whose BYTES differ from the
     kept copy is refused unless ``--hardlink-differing`` (hardlink_blocker,
@@ -184,13 +186,16 @@ def pointer_dedup(final: DataFrame,
     they are NOT ``is_canonical`` — a blocked row self-points but is still a
     duplicate, so consumers selecting ``is_canonical`` get exactly one kept
     copy per set, never a refused duplicate riding along."""
-    w = Window.partitionBy("cluster_key")
+    pool = final.filter(F.col("status").isin("unique", "selected", "discarded"))
     # min over struct(url, raw_hash) orders by url first: yields the kept
-    # row's url AND its raw hash in one window pass.
-    kept = F.min(
-        F.when(F.col("status").isin("unique", "selected"),
-               F.struct(F.col("url"), F.col("raw_hash")))
-    ).over(w)
+    # row's url AND its raw hash in one aggregation pass.
+    joined = with_group_stats(pool, "cluster_key", [
+        F.min(
+            F.when(F.col("status").isin("unique", "selected"),
+                   F.struct(F.col("url"), F.col("raw_hash")))
+        ).alias("_pd_kept"),
+    ])
+    kept = F.col("_pd_kept")
     same_bytes = F.col("raw_hash") == kept["raw_hash"]
     linkable = (
         F.lit(allow_differing)
@@ -201,7 +206,7 @@ def pointer_dedup(final: DataFrame,
         .otherwise(F.col("url"))
     blocked = ~linkable & (F.col("url") != F.coalesce(kept["url"], F.col("url")))
     return (
-        final.filter(F.col("status").isin("unique", "selected", "discarded"))
+        joined
         .withColumn("kept_url", kept_url)
         .withColumn("blocked_differing", blocked)
         .withColumn(

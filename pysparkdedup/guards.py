@@ -5,9 +5,10 @@ Re-expresses ``DuplicateSet.check_differences`` (ref deduplicate.py:270-359):
 1. **Set-level short-circuit, in column algebra** (ref deduplicate.py:292-301):
    a group passes wholesale when its size spread is within threshold AND
    (content check disabled OR all members share one raw body hash). Deciding
-   this is one window pass; a set of true copies never walks the pairs — the
-   property the reference regression-tests (tests/test_performance.py:316-341).
-   At web scale this is what makes boilerplate mega-clusters O(n).
+   this is one sharded aggregation pass (groupagg.with_group_stats); a set of
+   true copies never walks the pairs — the property the reference
+   regression-tests (tests/test_performance.py:316-341). At web scale this is
+   what makes boilerplate mega-clusters O(n) — and sharded, not one task.
 
 2. **Greedy eviction, in applyInPandas** — only for the (rare) groups failing
    the short-circuit: pairwise offenses with diff memoized per body-hash pair
@@ -34,11 +35,12 @@ from itertools import combinations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .config import DedupConfig
+from .groupagg import with_group_stats
 
 MAX_EVICTION_GROUP = 5000
 
@@ -211,29 +213,37 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
 
     Expects columns: url, text, n_bytes, raw_hash, ``key``.
     Only groups failing the linear short-circuit enter the Arrow UDF; the
-    filter-gate is window algebra, so the common case never leaves the JVM.
+    filter-gate is sharded column algebra (``with_group_stats``: partial
+    groupBy + join-back, never a single-task WindowExec — a boilerplate
+    mega-cluster's extremes are map-side combined), so the common case never
+    leaves the JVM. The group-stats join lives only inside the verdicts
+    branch; the returned spine is just ``df ⋈(url) verdicts``.
     """
     st, ct = cfg.size_threshold, cfg.content_threshold
     if st < 0 and ct < 0:
         return df.withColumn("evicted", F.lit(False)).withColumn(
             "guard_skip_kind", F.lit(None).cast("string"))
 
-    w = Window.partitionBy(key)
-    n = F.count(F.lit(1)).over(w)
+    # Single-distinct test with O(1) aggregation state: min==max over non-null
+    # hashes. A collect_set here would materialize every distinct raw hash of
+    # a group — O(n) memory on exactly the skewed mega-cluster (boilerplate +
+    # whitespace jitter) the engine must survive. raw_hash is non-null for all
+    # non-rejected rows; all-null groups fail the short-circuit (coalesce
+    # False), matching collect_set-size==1 semantics.
+    flagged = with_group_stats(df, key, [
+        F.count(F.lit(1)).alias("_gd_n"),
+        F.min("n_bytes").alias("_gd_min_b"),
+        F.max("n_bytes").alias("_gd_max_b"),
+        F.min("raw_hash").alias("_gd_min_h"),
+        F.max("raw_hash").alias("_gd_max_h"),
+    ])
     spread_ok = (
         F.lit(st < 0)
-        | ((F.max("n_bytes").over(w) - F.min("n_bytes").over(w)) <= F.lit(st))
+        | ((F.col("_gd_max_b") - F.col("_gd_min_b")) <= F.lit(st))
     )
-    # Single-distinct test with O(1) window state: min==max over non-null
-    # hashes. A collect_set here would materialize every distinct raw hash of
-    # a group in one task's window buffer — O(n) memory on exactly the skewed
-    # mega-cluster (boilerplate + whitespace jitter) the engine must survive.
-    # raw_hash is non-null for all non-rejected rows; all-null groups fail the
-    # short-circuit (coalesce False), matching collect_set-size==1 semantics.
     one_body = F.coalesce(
-        F.min("raw_hash").over(w) == F.max("raw_hash").over(w), F.lit(False))
-    passes = (n == 1) | (spread_ok & (F.lit(ct < 0) | one_body))
-    flagged = df.withColumn("_guard_pass", passes)
+        F.col("_gd_min_h") == F.col("_gd_max_h"), F.lit(False))
+    passes = (F.col("_gd_n") == 1) | (spread_ok & (F.lit(ct < 0) | one_body))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _evict_group(pdf, st, ct, max_eviction_group)
@@ -242,14 +252,13 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
     # the defaults through the left join — no branch-and-union, so the
     # upstream plan is computed once.
     verdicts = (
-        flagged.filter(~F.col("_guard_pass"))
+        flagged.filter(~passes)
         .select("url", "n_bytes", "raw_hash", "text", key)
         .groupBy(key)
         .applyInPandas(run, schema=_EVICT_SCHEMA)
         .select("url", "evicted", "guard_skip_kind")
     )
     return (
-        flagged.join(verdicts, on="url", how="left")
+        df.join(verdicts, on="url", how="left")
         .withColumn("evicted", F.coalesce(F.col("evicted"), F.lit(False)))
-        .drop("_guard_pass")
     )

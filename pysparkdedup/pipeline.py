@@ -15,11 +15,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .exact import annotate, with_cluster_key
+from .groupagg import with_group_stats
 from .guards import apply_guards
 from .stats import Stat, check_stats, compute_stats
 from .strategy import apply_cascade
@@ -51,24 +52,27 @@ def label_outcomes(df: DataFrame) -> DataFrame:
         .when(F.col("applied_strategy") == "single", "single")
         .when(F.col("applied_strategy").isNotNull(), "deduplicated")
     )
-    # Retained rows sort first so a rejected row can never take the rep slot
-    # of a set it shares a key with.
-    w = Window.partitionBy("cluster_key").orderBy(
-        F.col("rejected").asc(), F.col("url")
-    )
-    set_rep = (~F.col("rejected")) & (F.row_number().over(w) == 1)
+    # The rep is the min non-rejected url of the set (a rejected row can never
+    # take the rep slot). Sharded groupBy + join-back (groupagg), not a
+    # WindowExec: a mega-set's rep lookup is map-side combined.
+    joined = with_group_stats(df, "cluster_key", [
+        F.min(F.when(~F.col("rejected"), F.col("url"))).alias("_rep_url"),
+    ])
+    set_rep = (~F.col("rejected")) & (F.col("url") == F.col("_rep_url"))
     return (
-        df.withColumn("status", status)
+        joined.withColumn("status", status)
         .withColumn("set_outcome", set_outcome)
         .withColumn("set_rep", F.coalesce(set_rep, F.lit(False)))
+        .drop("_rep_url")
     )
 
 
 def run_exact(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Exact-dup pipeline: normalized content hash as the cluster key.
 
-    One shuffle (hash partition by cluster_key) feeds guards, cascade, and
-    set_rep windows — Catalyst reuses the exchange across the window specs.
+    Per-group decisions (guards, cascade, set_rep) are all two-phase
+    groupBy + join-back (groupagg) — partial aggregation shards skewed
+    clusters; no single-task WindowExec anywhere in the tail.
     """
     ann = with_cluster_key(annotate(pages, cfg))
     return _group_and_select(ann, cfg)

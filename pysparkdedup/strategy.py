@@ -1,10 +1,11 @@
-"""Selection strategies as window predicates + cascade fallback — pure column
-algebra, one window pass, no UDF.
+"""Selection strategies as per-group predicates + cascade fallback — pure
+column algebra, one sharded aggregation pass, no UDF, no Window.
 
 Re-expresses the reference's strategy registry (ref strategy.py:196-273) and
 cascade semantics (ref deduplicate.py:456-509):
 
-- each strategy is a boolean predicate over ``Window.partitionBy(cluster_key)``;
+- each strategy is a boolean predicate comparing a row against its group's
+  extremes (min/max timestamp/size, min participant url, match count);
 - a strategy is *effective* on a group iff it selects neither none nor all of
   it (ref deduplicate.py:465-490) and its prerequisites hold — time strategies
   need every member dated, else the reference raises ``MissingTimestamps``
@@ -15,21 +16,31 @@ cascade semantics (ref deduplicate.py:456-509):
 - 1-member groups are auto-selected and never enter the cascade
   (ref deduplicate.py:419-424).
 
+Skew note: the group extremes come from ``groupagg.with_group_stats`` (partial
+hash aggregation + AQE-splittable join-back), NOT ``Window.partitionBy`` —
+a boilerplate mega-cluster is sharded across tasks instead of sort-buffered
+in one. The 0<selected<n effectiveness test never needs counts-at-extremes:
+for every min/max strategy it reduces to ``group_min < group_max`` over
+participants, for path strategies to ``0 < n_match < n``, and for
+select-one / select-all-but-one to ``n > 1`` — so ONE aggregation pass
+carries the whole cascade.
+
 Deliberate divergence: ``select-one`` / ``select-all-but-one`` are random in
 the reference and documented as non-reproducible across --jobs
-(ref docs/performance.md:95-97). Here they are ``row_number`` over a
-deterministic ``orderBy(url)`` so output is identical at any parallelism —
-required by the N-vs-4N scaling equivalence check.
+(ref docs/performance.md:95-97). Here they key on the deterministic min
+participant url so output is identical at any parallelism — required by the
+N-vs-4N scaling equivalence check.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
+from .groupagg import with_group_stats
 
 # Canonical strategy ids -> inverse aliases (ref strategy.py:214-244).
 ALIASES = {
@@ -80,39 +91,56 @@ class CascadeResult:
     strategies: list[str]
 
 
-def _predicate(name: str, w: Window, ts: Column, size: Column, url: Column,
-               rn: Column, regexp: str | None, p: Column) -> Column:
-    """The window predicate for one canonical strategy (ref strategy.py:56-193).
-
-    Every aggregate ranges over *participating* rows only (``when(p, ...)``) —
-    this is how evicted/skipped rows are excluded from min/max extremes
-    without splitting the DataFrame (the reference reduces the pool in place,
-    ref deduplicate.py:449-453)."""
-    pts, psize = F.when(p, ts), F.when(p, size)
+def _predicate(name: str, ts: Column, size: Column, url: Column,
+               regexp: str | None, g: dict[str, Column]) -> Column:
+    """The row-vs-group-extremes predicate for one canonical strategy
+    (ref strategy.py:56-193). ``g`` holds the joined-back group aggregates,
+    which range over *participating* rows only (``when(p, ...)`` inside the
+    aggregation) — this is how evicted/skipped rows are excluded from min/max
+    extremes without splitting the DataFrame (the reference reduces the pool
+    in place, ref deduplicate.py:449-453)."""
     if name == "select-older":
-        return ts < F.max(pts).over(w)
+        return ts < g["max_ts"]
     if name == "select-oldest":
-        return ts == F.min(pts).over(w)
+        return ts == g["min_ts"]
     if name == "select-newer":
-        return ts > F.min(pts).over(w)
+        return ts > g["min_ts"]
     if name == "select-newest":
-        return ts == F.max(pts).over(w)
+        return ts == g["max_ts"]
     if name == "select-smaller":
-        return size < F.max(psize).over(w)
+        return size < g["max_size"]
     if name == "select-smallest":
-        return size == F.min(psize).over(w)
+        return size == g["min_size"]
     if name == "select-bigger":
-        return size > F.min(psize).over(w)
+        return size > g["min_size"]
     if name == "select-biggest":
-        return size == F.max(psize).over(w)
+        return size == g["max_size"]
     if name == "select-matching-path":
         return url.rlike(regexp)
     if name == "select-non-matching-path":
         return ~url.rlike(regexp)
     if name == "select-one":
-        return rn == 1
+        # Deterministic stand-in for the reference's random pick: the min
+        # participant url (equals row_number==1 over participants-then-url).
+        return url == g["min_url"]
     if name == "select-all-but-one":
-        return rn > 1
+        return url != g["min_url"]
+    raise ValueError(name)
+
+
+def _effective(name: str, g: dict[str, Column]) -> Column:
+    """0 < selected < n for one strategy, without counting at extremes:
+    a min/max predicate splits the pool iff the pool's min != max; a path
+    predicate iff 0 < n_match < n; select-one / all-but-one iff n > 1."""
+    if name in TIME_STRATEGIES:
+        return g["min_ts"] < g["max_ts"]
+    if name in ("select-smaller", "select-smallest",
+                "select-bigger", "select-biggest"):
+        return g["min_size"] < g["max_size"]
+    if name in PATH_STRATEGIES:
+        return (g["n_match"] > 0) & (g["n_match"] < g["n"])
+    if name in ("select-one", "select-all-but-one"):
+        return g["n"] > 1
     raise ValueError(name)
 
 
@@ -138,38 +166,60 @@ def apply_cascade(
     rejected rows are excluded by column algebra rather than by splitting the
     frame — keeps the plan linear, upstream computed once).
 
-    One logical window pass: every per-strategy aggregate shares the same
-    partition spec, so Catalyst collapses them into a single Window exec (plus
-    one ordered window for the deterministic row_number) — no shuffle beyond
-    the one hash-partition by ``key``.
+    One sharded aggregation pass (``with_group_stats``): the per-group
+    extremes are computed by a partially-aggregated groupBy and joined back,
+    so a mega-cluster never funnels through a single WindowExec task; the
+    join-back is AQE-skew-splittable. Every strategy's predicate AND its
+    effectiveness test read only those extremes (see module docstring).
     """
     strategies = resolve_strategies(cfg.strategies, cfg.regexp)
     p = participates if participates is not None else F.lit(True)
 
-    w = Window.partitionBy(key)
-    # Participants first, then url: participants get row_number 1..n.
-    wo = Window.partitionBy(key).orderBy(F.when(p, 0).otherwise(1), url_col)
     ts, size, url = F.col(ts_col), F.col(size_col), F.col(url_col)
-    n = F.sum(p.cast("int")).over(w)
-    n_dated = F.sum((p & ts.isNotNull()).cast("int")).over(w)
-    all_dated = n_dated == n
-    rn = F.row_number().over(wo)
+    pts, psize, purl = F.when(p, ts), F.when(p, size), F.when(p, url)
+    aggs = [
+        F.sum(p.cast("int")).alias("_cs_n"),
+        F.sum((p & ts.isNotNull()).cast("int")).alias("_cs_n_dated"),
+        F.min(pts).alias("_cs_min_ts"),
+        F.max(pts).alias("_cs_max_ts"),
+        F.min(psize).alias("_cs_min_size"),
+        F.max(psize).alias("_cs_max_size"),
+        F.min(purl).alias("_cs_min_url"),
+    ]
+    if any(s in PATH_STRATEGIES for s in strategies):
+        aggs.append(
+            F.sum((p & url.rlike(cfg.regexp)).cast("int")).alias("_cs_n_match"))
+    else:
+        aggs.append(F.lit(None).cast("long").alias("_cs_n_match"))
+    joined = with_group_stats(df, key, aggs)
+    g = {
+        "n": F.col("_cs_n"),
+        "n_dated": F.col("_cs_n_dated"),
+        "min_ts": F.col("_cs_min_ts"),
+        "max_ts": F.col("_cs_max_ts"),
+        "min_size": F.col("_cs_min_size"),
+        "max_size": F.col("_cs_max_size"),
+        "min_url": F.col("_cs_min_url"),
+        "n_match": F.col("_cs_n_match"),
+    }
+    n = g["n"]
+    all_dated = g["n_dated"] == n
 
     preds: list[Column] = []
     effectives: list[Column] = []
     ts_failed: list[Column] = []  # strategy k failed due to MissingTimestamps
     for name in strategies:
-        pred = p & _predicate(name, w, ts, size, url, rn, cfg.regexp, p)
-        needs_ts = name in TIME_STRATEGIES
-        if needs_ts:
+        pred = p & _predicate(name, ts, size, url, cfg.regexp, g)
+        eff_core = _effective(name, g)
+        if name in TIME_STRATEGIES:
             # Undated member => MissingTimestamps => strategy inapplicable.
             pred_gated = F.when(all_dated, pred).otherwise(F.lit(False))
             ts_fail = ~all_dated
+            effective = all_dated & eff_core
         else:
             pred_gated = pred
             ts_fail = F.lit(False)
-        sel_cnt = F.sum(pred_gated.cast("int")).over(w)
-        effective = ~ts_fail & (sel_cnt > 0) & (sel_cnt < n)
+            effective = eff_core
         preds.append(pred_gated)
         effectives.append(effective)
         ts_failed.append(ts_fail)
@@ -197,7 +247,9 @@ def apply_cascade(
         skip_kind = F.when(p & (n > 1), F.lit("strategy"))
 
     return (
-        df.withColumn("selected", selected)
+        joined.withColumn("selected", selected)
         .withColumn("applied_strategy", applied)
         .withColumn("set_skip_kind", skip_kind)
+        .drop("_cs_n", "_cs_n_dated", "_cs_min_ts", "_cs_max_ts",
+              "_cs_min_size", "_cs_max_size", "_cs_min_url", "_cs_n_match")
     )

@@ -52,11 +52,29 @@ def test_pipeline_dehydrates_payload(spark, pages_factory):
         assert "html" not in b, b
 
 
-def test_exact_pipeline_two_exchanges_for_windows(spark, pages_factory):
-    """The dedup tail needs exactly TWO cluster_key shuffles: one feeding the
-    guard flags + eviction-UDF groupBy (which reuses the window partitioning),
-    one for the cascade + labeling windows after the verdict join. More means
-    a stage stopped sharing its exchange."""
+def test_exact_pipeline_no_cluster_key_window(spark, pages_factory):
+    """No WindowExec partitioned by cluster_key anywhere in the exact
+    pipeline: per-group decisions (guards, cascade, set_rep) must be
+    two-phase groupBy + join-back (groupagg.with_group_stats), so a
+    boilerplate mega-cluster is sharded by partial aggregation instead of
+    sort-buffered in a single window task."""
+    from tests.conftest import ts
+
+    df = pages_factory([
+        ("u/a", ts(0), "same text", "en"),
+        ("u/b", ts(1), "same text", "en"),
+    ])
+    final = run_exact(df, DedupConfig(strategies=("select-newest",)))
+    plan = plan_of(final.select("url", "status"))
+    assert "Window" not in plan, plan
+    # Every per-group aggregate must show a partial_ (map-side) phase.
+    assert "partial_" in plan
+
+
+def test_exact_pipeline_bounded_cluster_key_exchanges(spark, pages_factory):
+    """The sharded tail still bounds its cluster_key shuffles: the stats
+    branches each shuffle their (tiny, partially-aggregated) group rows, but
+    the full-width spine must not proliferate exchanges."""
     from tests.conftest import ts
 
     df = pages_factory([
@@ -66,7 +84,7 @@ def test_exact_pipeline_two_exchanges_for_windows(spark, pages_factory):
     final = run_exact(df, DedupConfig(strategies=("select-newest",)))
     plan = plan_of(final.select("url", "status"))
     n_exchanges = plan.count("Exchange hashpartitioning(cluster_key")
-    assert n_exchanges <= 2, plan
+    assert n_exchanges <= 6, plan
 
 
 def test_hot_bucket_broadcast(spark):
