@@ -138,29 +138,65 @@ class SignatureCheckpoint:
     def _lock_path(self) -> str:
         return os.path.join(self.path, LOCK)
 
-    def _acquire_lock(self) -> None:
+    def _lock_age(self) -> float:
+        """Age of the current lockfile in seconds (observation point —
+        deliberately a method so the two-breakers race test can feed one
+        writer a stale observation while the breaker re-validates live)."""
+        return time.time() - os.path.getmtime(self._lock_path())
+
+    def _break_stale_lock(self) -> None:
+        """Remove a crashed writer's lock corpse — TOCTOU-safe.
+
+        The naive stat-then-unlink break races: two writers that both observe
+        a stale lock can both unlink, the second deleting the FRESH lock the
+        first just re-created, letting both proceed and interleave commit+GC.
+        Fix: all breaking is serialized through an flock'd breaker mutex, and
+        staleness is RE-VALIDATED under that mutex before the unlink — a
+        fresh lock re-stats young and survives. flock is kernel-held and
+        auto-released on process death, so the breaker mutex itself cannot
+        go stale. (On stores without flock semantics — object stores, some
+        NFS — run one writer per checkpoint path or use an Iceberg catalog's
+        transactional commit instead.)"""
+        import fcntl
+
+        with open(self._lock_path() + ".breaker", "a") as bf:
+            fcntl.flock(bf, fcntl.LOCK_EX)
+            try:
+                # Live re-stat under the mutex (NOT self._lock_age): only a
+                # lock that is still stale now may be unlinked.
+                age = time.time() - os.path.getmtime(self._lock_path())
+                if age > LOCK_STALE_S:
+                    os.unlink(self._lock_path())
+            except FileNotFoundError:
+                pass
+            finally:
+                fcntl.flock(bf, fcntl.LOCK_UN)
+
+    def _acquire_lock(self) -> str:
         """O_EXCL lockfile so two writers cannot interleave the
         write-data/swap-manifest/GC sequence (ref mail_box.py:424-445 locks
         boxes for the run). Local-FS/HDFS-style guard; an Iceberg deployment
         would get this from the table format's transactional commit. A lock
-        older than LOCK_STALE_S is treated as a crashed writer and broken."""
-        for _ in range(2):
+        older than LOCK_STALE_S is treated as a crashed writer's corpse and
+        broken (see _break_stale_lock for the race-safety argument).
+        Returns the owner token written into the lockfile; release validates
+        it so a writer whose lock was broken mid-commit can never unlink a
+        successor's lock."""
+        token = uuid.uuid4().hex
+        for _ in range(3):
             try:
                 fd = os.open(self._lock_path(),
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.write(fd, f"{token} {os.getpid()} {time.time()}\n".encode())
                 os.close(fd)
-                return
+                return token
             except FileExistsError:
                 try:
-                    age = time.time() - os.path.getmtime(self._lock_path())
+                    age = self._lock_age()
                 except FileNotFoundError:
                     continue  # holder just released — retry the O_EXCL
                 if age > LOCK_STALE_S:
-                    try:
-                        os.unlink(self._lock_path())
-                    except FileNotFoundError:
-                        pass
+                    self._break_stale_lock()
                     continue
                 raise ConcurrentCommitError(
                     f"another commit holds {self._lock_path()} "
@@ -169,8 +205,13 @@ class SignatureCheckpoint:
         raise ConcurrentCommitError(
             f"could not acquire {self._lock_path()} after retries")
 
-    def _release_lock(self) -> None:
+    def _release_lock(self, token: str) -> None:
         try:
+            with open(self._lock_path()) as fh:
+                owner = fh.read().split(" ", 1)[0]
+            if owner != token:
+                return  # our lock was stale-broken; the path now belongs
+                # to a successor — never unlink someone else's lock
             os.unlink(self._lock_path())
         except FileNotFoundError:
             pass
@@ -191,7 +232,7 @@ class SignatureCheckpoint:
         commit raises ConcurrentCommitError instead of silently last-winning
         and orphaning a data dir."""
         os.makedirs(self.path, exist_ok=True)
-        self._acquire_lock()
+        token = self._acquire_lock()
         try:
             new_dir = f"{DATA_DIR}-{uuid.uuid4().hex[:12]}"
             signatures.write.mode("overwrite").parquet(
@@ -207,7 +248,7 @@ class SignatureCheckpoint:
             os.replace(tmp, self._manifest_path())
             self._gc_orphans(keep_dir=new_dir)
         finally:
-            self._release_lock()
+            self._release_lock(token)
 
 
 def signatures_with_checkpoint(

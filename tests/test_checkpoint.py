@@ -257,3 +257,46 @@ def test_stale_lock_is_broken(pages, tmp_path):
     ckpt.commit(sigs, cfg)  # breaks the stale lock, succeeds
     assert ckpt.read_manifest() is not None
     assert not os.path.exists(ckpt._lock_path())
+
+def test_two_breakers_race_exactly_one_wins(pages, tmp_path):
+    """The stale-lock-break TOCTOU (verdict r3 #2): writer A and writer B both
+    observe a stale lock; A breaks it and re-acquires; B — still acting on its
+    stale observation — must NOT unlink A's fresh lock and proceed. The break
+    is serialized through an flock'd breaker mutex that RE-VALIDATES
+    staleness live, so B's break is a no-op and B raises
+    ConcurrentCommitError: exactly one winner, no interleaved commit+GC."""
+    import os
+
+    from pysparkdedup.checkpoint import ConcurrentCommitError, SignatureCheckpoint
+
+    path = str(tmp_path / "ckpt")
+    os.makedirs(path, exist_ok=True)
+    a = SignatureCheckpoint(path)
+    b = SignatureCheckpoint(path)
+
+    # the crashed writer's corpse both A and B observe as stale
+    with open(a._lock_path(), "w") as fh:
+        fh.write("deadbeef 1 crashed\n")
+    os.utime(a._lock_path(), (1e9, 1e9))
+
+    # A wins the race: breaks the corpse, acquires a fresh lock
+    token_a = a._acquire_lock()
+    with open(a._lock_path()) as fh:
+        assert fh.read().split(" ", 1)[0] == token_a
+
+    # B still holds its STALE observation (simulate the re-ordered stat by
+    # pinning B's observation point to the corpse's age); its break must
+    # re-validate live under the mutex, leave A's fresh lock alone, and lose.
+    b._lock_age = lambda: 1e9  # B "saw" the stale corpse
+    with pytest.raises(ConcurrentCommitError):
+        b._acquire_lock()
+
+    # A's lock survived B's attempted break — no second writer proceeded
+    with open(a._lock_path()) as fh:
+        assert fh.read().split(" ", 1)[0] == token_a
+
+    # and B releasing with a foreign token must not unlink A's lock either
+    b._release_lock("not-the-owner")
+    assert os.path.exists(a._lock_path())
+    a._release_lock(token_a)
+    assert not os.path.exists(a._lock_path())
