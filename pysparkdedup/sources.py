@@ -27,15 +27,68 @@ from pyspark.sql import functions as F
 FORMATS = ("parquet", "json", "csv", "files", "table")
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
+# A hive-style partition directory: key=value, no path separators.
+_PARTITION_RE = re.compile(r"^[^=/]+=[^/]*$")
+_SNIFF_MAX_PARTITION_PROBES = 4  # partition dirs probed per level
+_SNIFF_MAX_DEPTH = 4  # nested partition keys (lang=en/year=2024/...)
 
 
-def _sniff(names: list[str]) -> str:
+def _suffix_format(names: list[str]) -> str | None:
     if any(n.endswith(".parquet") for n in names):
         return "parquet"
     if any(n.endswith(".json") or n.endswith(".jsonl") for n in names):
         return "json"
     if any(n.endswith(".csv") for n in names):
         return "csv"
+    return None
+
+
+def _sniff(names: list[str], list_child=None,
+           depth: int = _SNIFF_MAX_DEPTH) -> str:
+    """Classify a directory listing, recursing into hive partition dirs.
+
+    The reference's autodetect recurses into mailbox structure rather than
+    trusting top-level names (ref mail_box.py:353-397); the table analog is a
+    partitioned dataset (``lang=en/part-*.parquet``) whose top level has no
+    data suffix at all. Sniffing that as ``files`` would ingest parquet bytes
+    as page payloads — a silent wrong answer — so ``key=value`` subdirs are
+    probed one level down (``list_child(name)`` -> child names or None),
+    up to ``depth`` nested partition keys. Ambiguity raises instead of
+    falling back to ``files``.
+    """
+    if "_delta_log" in names:
+        raise ValueError(
+            "Delta table layout detected (_delta_log present); this build "
+            "has no Delta reader on the classpath — register the table in a "
+            "catalog and read it with --input-format table")
+    fmt = _suffix_format(names)
+    if fmt is not None:
+        return fmt
+    part_dirs = sorted(n for n in names if _PARTITION_RE.match(n))
+    if part_dirs:
+        if list_child is not None and depth > 0:
+            for d in part_dirs[:_SNIFF_MAX_PARTITION_PROBES]:
+                children = list_child(d)
+                if children is None:  # a key=value *file* — not a partition
+                    continue
+                sub = _sniff(
+                    children,
+                    lambda n, _d=d: list_child(f"{_d}/{n}"),
+                    depth - 1,
+                )
+                if sub != "files":
+                    return sub
+        raise ValueError(
+            f"hive-partitioned layout ({part_dirs[0]}/...) with no "
+            f"recognizable data files inside — refusing to ingest it as raw "
+            f"pages; pass --input-format (one of {FORMATS})")
+    if "_SUCCESS" in names:
+        # A job-output marker without a recognizable data suffix: this is a
+        # dataset of SOME format, just not one we can prove — raise rather
+        # than misread structured bytes as page payloads.
+        raise ValueError(
+            "_SUCCESS marker present but no recognizable data files — "
+            f"ambiguous dataset layout; pass --input-format (one of {FORMATS})")
     return "files"
 
 
@@ -49,6 +102,19 @@ def _hadoop_listdir(spark: SparkSession, path: str) -> list[str] | None:
     if not fs.getFileStatus(hpath).isDirectory():
         return None
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _local_lister(base: str):
+    def list_child(rel: str) -> list[str] | None:
+        p = os.path.join(base, rel)
+        return os.listdir(p) if os.path.isdir(p) else None
+    return list_child
+
+
+def _hadoop_lister(spark: SparkSession, base: str):
+    def list_child(rel: str) -> list[str] | None:
+        return _hadoop_listdir(spark, base.rstrip("/") + "/" + rel)
+    return list_child
 
 
 def autodetect(path: str, spark: SparkSession | None = None) -> str:
@@ -67,7 +133,7 @@ def autodetect(path: str, spark: SparkSession | None = None) -> str:
         local = path[len(scheme.group(0)) - 2:]  # keep the leading /
         local = "/" + local.lstrip("/")
         if os.path.isdir(local):
-            return _sniff(os.listdir(local))
+            return _sniff(os.listdir(local), _local_lister(local))
         return _sniff([local])
     if scheme:
         if spark is None:
@@ -82,10 +148,10 @@ def autodetect(path: str, spark: SparkSession | None = None) -> str:
                 f"cannot autodetect the format of remote source {path!r} "
                 f"({exc}); pass --input-format (one of {FORMATS})") from exc
         if names is None:  # a single remote file: sniff its own suffix
-            names = [path]
-        return _sniff(names)
+            return _sniff([path])
+        return _sniff(names, _hadoop_lister(spark, path))
     if os.path.isdir(path):
-        return _sniff(os.listdir(path))
+        return _sniff(os.listdir(path), _local_lister(path))
     return _sniff([path])
 
 
@@ -132,13 +198,38 @@ def read_pages(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
     raise ValueError(f"unknown source format: {fmt!r}")
 
 
+def source_identity(path: str) -> str:
+    """Canonical identity of a source path for duplicate-registration
+    self-dedup (ref deduplicate.py:936-956 normalizes source paths).
+
+    ``os.path.realpath`` is only meaningful for local paths; for remote URIs
+    it would leave ``s3a://b/x`` vs ``s3a://b/x/`` distinct and is a no-op on
+    scheme/host case. Remote: lowercase the scheme and authority, strip
+    trailing slashes from the key (interior slashes untouched — object-store
+    keys may legitimately contain runs). file:// resolves like a local path.
+    """
+    m = _SCHEME_RE.match(path)
+    if m and m.group(1).lower() != "file":
+        scheme = m.group(1).lower()
+        rest = path[m.end():]
+        authority, sep, tail = rest.partition("/")
+        tail = tail.rstrip("/")
+        suffix = f"/{tail}" if tail else ""
+        return f"{scheme}://{authority.lower()}{suffix}"
+    if m:  # file://
+        local = "/" + path[m.end():].lstrip("/")
+        return os.path.realpath(local)
+    return os.path.realpath(path)
+
+
 def union_sources(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Register several sources; duplicate source paths are rejected and
-    duplicate row identities self-dedup (ref deduplicate.py:936-956)."""
+    """Register several sources; duplicate source paths are rejected
+    (scheme-aware identity, see ``source_identity``) and duplicate row
+    identities self-dedup (ref deduplicate.py:936-956)."""
     seen: list[str] = []
     frames: list[DataFrame] = []
     for p in paths:
-        norm = os.path.realpath(p)
+        norm = source_identity(p)
         if norm in seen:
             continue  # duplicate source registration (counted by caller)
         seen.append(norm)
