@@ -7,13 +7,16 @@ image dimensions for PNG/JPEG/GIF) is real, pure-stdlib code — no codec
 libraries needed to read IHDR/SOF/logical-screen headers.
 
 Pixel decode / resample / frame demux is PLUG-IN gated: when Pillow is
-importable (``_pil_image()``), ``fake_decode=False`` runs REAL decode —
-grayscale pixel features, real resampling, GIF frame extraction — so the
-kernels are real wherever codecs exist. Without Pillow (this container has
-no codec libs), ``fake_decode=True`` swaps in a deterministic fake (features
-derived from the bytes) so pipelines are testable end to end, and
-``fake_decode=False`` raises NotImplementedError at the exact point a codec
-would run. Video demux beyond GIF needs ffmpeg and stays an honest stub.
+importable (``_pil_image()``), ``fake_decode=False`` runs REAL decode for
+any codec Pillow knows. WITHOUT Pillow, PNG still decodes for real through
+the pure-stdlib decoder (``png_decode_gray``: zlib inflate + unfilter +
+PIL-exact integer luma — bit-identical pixels to Pillow's convert("L")),
+and resampling is the shared area-average kernel in both paths, so PNG
+features/resizes are environment-independent. Non-PNG without Pillow
+raises NotImplementedError at the exact decode point; ``fake_decode=True``
+swaps in a deterministic bytes-digest fake for full-pipeline testing with
+no codecs at all. Video demux beyond GIF needs ffmpeg and stays an honest
+stub.
 """
 
 from __future__ import annotations
@@ -55,6 +58,140 @@ def _pil_image():
     from PIL import Image
 
     return Image
+
+
+def png_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode to (width, height, 8-bit grayscale bytes).
+
+    zlib inflate + scanline unfilter (all five PNG filters) + grayscale
+    conversion with Pillow's exact integer luma (L24: (19595R + 38470G +
+    7471B + 0x8000) >> 16), so the decoded pixels are bit-identical to
+    ``PIL.Image.open(...).convert("L")`` for supported inputs. Supports
+    8-bit-depth, non-interlaced PNGs of color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha dropped like PIL's
+    convert("L"). Anything else raises NotImplementedError (the plug-in
+    gate's honest boundary); Pillow, when present, handles those.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "stdlib fallback decodes PNG only; install Pillow for other "
+            "codecs or run with fake_decode=True")
+    pos, idat, palette = 8, [], None
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("corrupt PNG: no IHDR chunk")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"stdlib PNG fallback handles 8-bit non-interlaced only "
+            f"(got depth={bit_depth}, interlace={interlace}); install Pillow")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"corrupt PNG: color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("corrupt PNG: truncated pixel data")
+
+    bpp = channels  # bytes per pixel at 8-bit depth
+    prior = bytes(stride)
+    o = 0
+    pixels = bytearray(h * stride)
+    for y in range(h):
+        flt = raw[o]
+        cur = bytearray(raw[o + 1:o + 1 + stride])
+        o += 1 + stride
+        if flt == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif flt == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prior[i]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prior[i]) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif flt != 0:
+            raise ValueError(f"corrupt PNG: filter {flt}")
+        pixels[y * stride:(y + 1) * stride] = cur
+        prior = cur
+
+    def l24(r: int, g: int, b: int) -> int:
+        return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+
+    gray = bytearray(w * h)
+    if color_type == 0:
+        gray[:] = pixels
+    elif color_type == 4:  # gray+alpha: drop alpha
+        gray[:] = pixels[0::2]
+    elif color_type == 2:
+        for i in range(w * h):
+            gray[i] = l24(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2])
+    elif color_type == 6:
+        for i in range(w * h):
+            gray[i] = l24(pixels[4 * i], pixels[4 * i + 1], pixels[4 * i + 2])
+    else:  # palette
+        if palette is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        lut = bytearray(256)  # translate() needs a full 256-entry table
+        for j in range(len(palette) // 3):
+            lut[j] = l24(palette[3 * j], palette[3 * j + 1], palette[3 * j + 2])
+        gray[:] = bytes(pixels).translate(bytes(lut))
+    return w, h, bytes(gray)
+
+
+def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, 8-bit grayscale) — Pillow when importable (any codec),
+    else the pure-stdlib PNG decoder. For PNG inputs the two produce
+    bit-identical pixels (png_decode_gray uses PIL's integer luma)."""
+    Image = _pil_image()
+    if Image is not None:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return img.width, img.height, img.tobytes()
+    return png_decode_gray(payload)
+
+
+def _resample_gray(gray: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Deterministic area-average (box) resample of an 8-bit grayscale
+    bitmap. Used by BOTH the Pillow and stdlib decode paths so a PNG yields
+    identical features in every environment (PIL's default bicubic would
+    couple output values to the Pillow version). numpy, no Python per-pixel
+    loops over the source."""
+    import numpy as np
+
+    a = np.frombuffer(gray, np.uint8).reshape(h, w)
+    out = np.empty((th, tw), np.uint8)
+    for ty in range(th):
+        y0, y1 = ty * h // th, max(ty * h // th + 1, (ty + 1) * h // th)
+        for tx in range(tw):
+            x0 = tx * w // tw
+            x1 = max(x0 + 1, (tx + 1) * w // tw)
+            out[ty, tx] = int(a[y0:y1, x0:x1].mean())
+    return out.tobytes()
 
 
 def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
@@ -139,23 +276,19 @@ def extract_features(df: DataFrame, payload_col: str = "html",
                      fake_decode: bool = True) -> DataFrame:
     """Decode + feature-extract each binary payload (Arrow-batched).
 
-    ``fake_decode=False`` + Pillow available = REAL decode: the image is
-    opened, converted to grayscale, resampled to ``feature_dim`` pixels, and
-    the feature is the normalized pixel vector. Without Pillow it raises at
-    the decode point; ``fake_decode=True`` keeps the deterministic
-    bytes-digest fake for codec-less CI.
+    ``fake_decode=False`` = REAL decode: the image is decoded to grayscale
+    (Pillow when importable — any codec; else the pure-stdlib PNG decoder,
+    bit-identical pixels for PNG), box-resampled to ``feature_dim`` pixels
+    (_resample_gray, environment-independent), and the feature is the
+    normalized pixel vector. Non-PNG without Pillow raises at the decode
+    point; ``fake_decode=True`` keeps the deterministic bytes-digest fake.
     """
 
     def _decode(payload: bytes) -> list[float]:
         if not fake_decode:
-            Image = _pil_image()
-            if Image is None:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "run with fake_decode=True or install Pillow")
-            img = Image.open(io.BytesIO(payload)).convert("L")
-            img = img.resize((feature_dim, 1))
-            return [px / 255.0 for px in img.tobytes()]
+            w, h, gray = _decode_gray(payload)
+            resampled = _resample_gray(gray, w, h, feature_dim, 1)
+            return [px / 255.0 for px in resampled]
         # Deterministic fake: bytes -> digest -> unit-range floats.
         digest = hashlib.blake2b(payload, digest_size=feature_dim * 2).digest()
         return [
@@ -198,22 +331,19 @@ def resize_images(df: DataFrame, payload_col: str = "html",
     """Resize each image payload to (width, height) — Arrow-batched.
 
     Real parts: header parsing for source dimensions (parse_image_header),
-    schema, batch shape. ``fake_decode=False`` + Pillow = REAL resampling
-    (grayscale raw bitmap of the target size); without Pillow it raises at
-    the resample point. ``fake_decode=True`` emits a deterministic fake
-    bitmap (width*height bytes derived from the payload digest) so
-    downstream plumbing (size accounting, exact dedup of resized payloads)
-    is testable in codec-less CI."""
+    schema, batch shape. ``fake_decode=False`` = REAL decode + box
+    resampling: Pillow when importable (any codec) else the stdlib PNG
+    decoder; the resample itself is the shared environment-independent
+    ``_resample_gray``, so PNG output bytes are identical with or without
+    Pillow. Non-PNG without Pillow raises at the decode point.
+    ``fake_decode=True`` emits a deterministic fake bitmap (width*height
+    bytes derived from the payload digest) so downstream plumbing (size
+    accounting, exact dedup of resized payloads) is testable anywhere."""
 
     def _resample(payload: bytes) -> bytes:
         if not fake_decode:
-            Image = _pil_image()
-            if Image is None:
-                raise NotImplementedError(
-                    "image resampling needs a codec library; run with "
-                    "fake_decode=True or install Pillow")
-            img = Image.open(io.BytesIO(payload)).convert("L")
-            return img.resize((width, height)).tobytes()
+            sw, sh, gray = _decode_gray(payload)
+            return _resample_gray(gray, sw, sh, width, height)
         digest = hashlib.blake2b(
             payload + width.to_bytes(4, "big") + height.to_bytes(4, "big")
         ).digest()
