@@ -492,6 +492,29 @@ def _q_guards_eviction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_guards(df, cfg).select("url", "evicted", "guard_skip_kind")
 
 
+def _q_guards_eviction_size_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy outlier eviction with the content check OFF (verdict r3 ask #5):
+    offenses are pure integer size comparisons at body-class granularity, so
+    the whole greedy loop — degree argmax, min-head-url tie-break, class
+    pointer advance, survivors<2 whole-set skip — is replayed exactly in
+    DuckDB as a recursive CTE (one eviction per group per recursion step).
+    This puts the SQL-expressible half of guards.apply_guards under the full
+    value-hash oracle; the difflib content metric keeps its rows-only twin
+    (guards_eviction_docs)."""
+    from pysparkdedup.guards import apply_guards
+
+    d = _docs(spark, sf_dir)
+    df = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("n_chars").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("raw_hash"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("cluster_key"),
+    )
+    cfg = DedupConfig(size_threshold=100, content_threshold=-1)
+    return apply_guards(df, cfg).select("url", "evicted", "guard_skip_kind")
+
+
 def _q_checkpoint_resume_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint anti-join resume (checkpoint.signatures_with_checkpoint,
     ref cache.py:248-317): commit signatures for the even half, then run the
@@ -713,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
+        # size-only eviction: the greedy loop is integer-only -> full oracle
+        # (recursive-CTE replay)
+        "guards_eviction_size_only": _q_guards_eviction_size_only,
         # rows-only (iterative greedy eviction over pairwise ndiff counts —
         # not SQL-expressible)
         "guards_eviction_docs": _q_guards_eviction_docs,
@@ -1090,6 +1116,96 @@ def _emb_dup_clusters_oracle_sql() -> str:
     """
 
 
+def _guards_eviction_size_only_oracle_sql() -> str:
+    """Exact replay of guards._evict_group with content_threshold=-1: every
+    offense is an integer size comparison, so the greedy loop is simulated as
+    a recursive CTE — each recursion step evicts one member per still-active
+    group from its max-degree body class (degree = remaining members of
+    offending classes; tie-break on the class's next-to-evict min url, i.e.
+    the member at row_number e+1). A group drops out of the recursion when no
+    class has positive degree; final per-class eviction counts are MAX(e).
+    Whole-set skip (survivors < 2) and the oversized-group skip replay the
+    kernel's 'size' kind (with content off, any entry into eviction implies a
+    spread breach). Validated row-identical against _evict_group on synthetic
+    multi-class groups before wiring (see tests/test_guards.py property
+    tests for the kernel itself)."""
+    from pysparkdedup.guards import MAX_EVICTION_GROUP
+
+    st = 100
+    return f"""
+        WITH RECURSIVE
+        members AS (
+            SELECT doc_id::VARCHAR AS url,
+                   COALESCE(lang, 'und') AS ck,
+                   n_chars AS sz,
+                   sha256(COALESCE(text, '')) AS rh
+            FROM documents
+        ),
+        grp AS (SELECT ck, COUNT(*) AS n, MAX(sz) - MIN(sz) AS spread
+                FROM members GROUP BY ck),
+        -- short-circuit: a group passes when n==1 or spread<=threshold
+        susp AS (SELECT ck, n FROM grp WHERE n > 1 AND spread > {st}),
+        overs AS (SELECT ck FROM susp WHERE n > {MAX_EVICTION_GROUP}),
+        elig AS (SELECT ck, n FROM susp WHERE n <= {MAX_EVICTION_GROUP}),
+        cls AS (
+            SELECT m.ck, m.rh AS c, MAX(m.sz) AS sz, COUNT(*) AS cnt
+            FROM members m JOIN elig e ON e.ck = m.ck GROUP BY m.ck, m.rh),
+        adj AS (
+            SELECT a.ck, a.c AS ca, b.c AS cb
+            FROM cls a JOIN cls b ON a.ck = b.ck AND a.c <> b.c
+            WHERE ABS(a.sz - b.sz) > {st}),
+        mord AS (
+            SELECT m.ck, m.rh AS c, m.url,
+                   ROW_NUMBER() OVER (PARTITION BY m.ck, m.rh ORDER BY m.url)
+                       AS rn
+            FROM members m JOIN elig e ON e.ck = m.ck),
+        ev AS (
+            SELECT ck, c, CAST(0 AS BIGINT) AS e FROM cls
+            UNION ALL
+            SELECT s.ck, s.c, s.e + CASE WHEN s.c = p.c THEN 1 ELSE 0 END
+            FROM ev s
+            JOIN (
+                SELECT ck, c FROM (
+                    SELECT d.ck, d.c,
+                           ROW_NUMBER() OVER (PARTITION BY d.ck
+                               ORDER BY d.deg DESC, d.head) AS pick
+                    FROM (
+                        SELECT e1.ck, e1.c, SUM(c2.cnt - e2.e) AS deg,
+                               mo.url AS head
+                        FROM ev e1
+                        JOIN cls c1 ON c1.ck = e1.ck AND c1.c = e1.c
+                        JOIN adj ad ON ad.ck = e1.ck AND ad.ca = e1.c
+                        JOIN ev e2 ON e2.ck = e1.ck AND e2.c = ad.cb
+                        JOIN cls c2 ON c2.ck = e2.ck AND c2.c = e2.c
+                        JOIN mord mo ON mo.ck = e1.ck AND mo.c = e1.c
+                                    AND mo.rn = e1.e + 1
+                        WHERE c1.cnt - e1.e > 0
+                        GROUP BY e1.ck, e1.c, mo.url
+                        HAVING SUM(c2.cnt - e2.e) > 0
+                    ) d
+                ) WHERE pick = 1
+            ) p ON p.ck = s.ck
+        ),
+        fin AS (SELECT ck, c, MAX(e) AS e FROM ev GROUP BY ck, c),
+        tot AS (SELECT f.ck, SUM(f.e) AS tot_ev, MAX(el.n) AS n
+                FROM fin f JOIN elig el ON el.ck = f.ck GROUP BY f.ck),
+        whole_skip AS (SELECT ck FROM tot WHERE tot_ev >= 1 AND n - tot_ev < 2),
+        evicted_urls AS (
+            SELECT mo.ck, mo.url FROM mord mo
+            JOIN fin f ON f.ck = mo.ck AND f.c = mo.c
+            WHERE mo.rn <= f.e
+              AND mo.ck NOT IN (SELECT ck FROM whole_skip)
+        )
+        SELECT m.url AS url,
+               (e2.url IS NOT NULL) AS evicted,
+               CASE WHEN m.ck IN (SELECT ck FROM overs) THEN 'size'
+                    WHEN m.ck IN (SELECT ck FROM whole_skip) THEN 'size'
+                    END AS guard_skip_kind
+        FROM members m
+        LEFT JOIN evicted_urls e2 ON e2.ck = m.ck AND e2.url = m.url
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from pysparkdedup.textstats import STOPWORDS
 
@@ -1414,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(regexp_replace(text, '\s', '', 'g')) AS content_hash
             FROM documents
         """,
+        "guards_eviction_size_only": _guards_eviction_size_only_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
