@@ -7,14 +7,17 @@ star-shaped bucket pairs (pairs.py) have tiny diameter, so convergence is
 2-4 iterations in practice; ``max_iter`` bounds pathological chains.
 
 Scale notes:
-- each iteration is one shuffle (edges joined to labels on src, min-agg on
-  dst) — label frames are localCheckpoint()ed to truncate lineage so the plan
+- each materialized iteration fuses TWO min-label propagation steps (the
+  fixpoint is confluent, so step grouping cannot change the result) — job
+  scheduling + checkpoint latency, not shuffle volume, dominates the
+  fixpoint, and the double stride halves the barrier count;
+- label frames are localCheckpoint()ed to truncate lineage so the plan
   does not grow with iterations;
 - convergence detection is FUSED into the materialization: an ``observe``
-  (CollectMetrics) node sums changed labels during the checkpoint job, so no
-  second per-iteration count job exists — one job per iteration, full stop
-  (this is pure fixed-cost: it is what stops amortizing at small corpora,
-  see BENCH.md scaling analysis);
+  (CollectMetrics) node sums the second step's changed labels during the
+  checkpoint job, so no second per-iteration count job exists — one job per
+  double-step, full stop (this is pure fixed-cost: it is what stops
+  amortizing at small corpora, see BENCH.md scaling analysis);
 - labels are min-url strings: deterministic at any parallelism, no
   64-bit-id collision risk at 10^12 nodes.
 """
@@ -79,21 +82,32 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
         )
     )
 
-    for it in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels.withColumnRenamed("url", "src"), on="src")
+            sym.join(lbl.withColumnRenamed("url", "src"), on="src")
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "url")
         )
-        # The changed-label sum rides the checkpoint job as an observe
-        # (CollectMetrics) node — convergence detection costs zero extra
-        # jobs/barriers per iteration (it used to be a second pass over the
-        # checkpointed blocks).
+        return (
+            lbl.join(neighbor_min, on="url", how="left")
+            .withColumn("new_label", F.least("label", F.col("nmin")))
+        )
+
+    for it in range(0, max_iter, 2):
+        # TWO propagation steps fused into one materialization: min-label
+        # propagation is confluent (the fixpoint is the component min
+        # regardless of step grouping), so doubling the stride halves the
+        # per-iteration barriers — job scheduling + checkpoint latency is
+        # the dominant fixpoint cost at every scale (the shuffled frames
+        # are AQE-coalesced and small relative to the edge set). The
+        # changed-label sum of the SECOND step rides the checkpoint job as
+        # an observe (CollectMetrics) node — zero extra jobs; step-2
+        # unchanged implies step-1 already reached the fixpoint.
+        once = propagate(labels).select("url", F.col("new_label").alias("label"))
         obs = Observation(f"cc_changed_{it}")
         labels = materialize(
-            labels.join(neighbor_min, on="url", how="left")
-            .withColumn("new_label", F.least("label", F.col("nmin")))
+            propagate(once)
             .observe(obs, F.sum(
                 (F.col("new_label") != F.col("label")).cast("long")
             ).alias("changed"))
