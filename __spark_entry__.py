@@ -679,13 +679,15 @@ def _q_embedding_top1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clusters (similarity.py) — fully
     oracle-checked: DuckDB replays the hash-deterministic sign-LSH buckets,
-    the cold-path pairwise candidates (max bucket is 19 at sf0.01, far
-    under the 256 cap, so the salted-star degrade path never fires and the
-    cap filter in the SQL is inert-but-faithful), the exact-cosine >=
-    threshold verify, and the min-label union-find as a recursive-CTE
-    transitive closure. No planted duplicate vectors exist, so the 0.35
-    threshold sits at the top of the random-cosine tail and yields a small
-    non-empty edge set."""
+    the cold-path pairwise candidates, the exact-cosine >= threshold
+    verify, and the min-label union-find as a recursive-CTE transitive
+    closure. The replay is valid only while no bucket exceeds the 256 cap
+    (max bucket is 19 at sf0.01): above it the ENGINE degrades to salted
+    stars that keep connectivity, which the SQL does not model — the
+    oracle emits loud sentinel rows for any overflowing bucket instead of
+    silently diverging (advice r3). No planted duplicate vectors exist, so
+    the 0.35 threshold sits at the top of the random-cosine tail and
+    yields a small non-empty edge set."""
     from pysparkdedup.similarity import embedding_dup_clusters
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -938,7 +940,17 @@ def _emb_bucket_ctes(n_tables: int, n_bits: int, seed: int = 42) -> str:
     ((a[t,j]*d + b[t,j]) mod 2^31-1) is even, else -1 — the ACTUAL seeded
     coefficients (similarity.plane_coeffs) embedded as literals, the same
     trick as the minhash permutation oracle. Ends with table
-    ``ebuckets(vec_id, table_id, bucket)``."""
+    ``ebuckets(vec_id, table_id, bucket)``.
+
+    Float caveat (advice r3): "bit-exact" holds for the PLANE ENTRIES, not
+    the dot reduction — SUM(val*sign) here uses DuckDB's unspecified
+    reduction order while the engine uses a numpy matmul (pairwise
+    summation), so a projection whose true dot is within ~1e-12 of zero
+    could round to opposite signs and flip one bucket bit. The synthetic
+    embeddings' projections sit far from zero (checked at sf0.01/sf0.1);
+    a tie would surface as an honest hash mismatch, not silent corruption.
+    cosine_pairs_exact pins a left-fold instead because its FLOAT OUTPUT is
+    hash-compared; bucket ids are integers, so only the sign matters here."""
     from pysparkdedup.similarity import _PLANE_M, plane_coeffs
 
     a, b = plane_coeffs(n_tables, n_bits, seed)
@@ -1069,11 +1081,18 @@ def _emb_ivf_top1_oracle_sql() -> str:
 
 def _emb_dup_clusters_oracle_sql() -> str:
     """DuckDB replay of similarity.embedding_dup_clusters: buckets ->
-    cold-path pairwise candidates (bucket size in [2, 256] — the star
-    degrade path never fires at sf0.01, max bucket 19) -> exact-cosine >=
-    0.35 verify -> min-label union-find as a recursive-CTE transitive
+    cold-path pairwise candidates (bucket size in [2, 256]) -> exact-cosine
+    >= 0.35 verify -> min-label union-find as a recursive-CTE transitive
     closure (same fixpoint components.py runs; vec_ids compare as strings
-    there, and min over VARCHAR is the same lexicographic order)."""
+    there, and min over VARCHAR is the same lexicographic order).
+
+    Cap-overflow guard (advice r3): the ENGINE degrades a bucket larger
+    than the cap to salted-star edges that preserve connectivity, while
+    this replay only walks cold buckets — the two agree ONLY while no
+    bucket exceeds the cap (max bucket is 19 at sf0.01). Rather than
+    silently diverging at a larger sf, the oracle emits a sentinel row per
+    overflowing bucket, forcing a loud row-count/hash mismatch that says
+    exactly what happened."""
     cos = _DUCK_COSINE.format(x="ea", y="eb")
     return f"""
         WITH RECURSIVE {_emb_bucket_ctes(16, 6)},
@@ -1084,6 +1103,9 @@ def _emb_dup_clusters_oracle_sql() -> str:
         coldb AS (
             SELECT table_id, bucket FROM bsizes
             WHERE _bsize >= 2 AND _bsize <= 256
+        ),
+        capviol AS (
+            SELECT table_id, bucket FROM bsizes WHERE _bsize > 256
         ),
         cand AS (
             SELECT x.vec_id AS a, y.vec_id AS b
@@ -1113,6 +1135,11 @@ def _emb_dup_clusters_oracle_sql() -> str:
         )
         SELECT node AS url, 'cc:' || min(label) AS cluster_key
         FROM walk GROUP BY node
+        UNION ALL
+        SELECT 'ORACLE_BUCKET_CAP_EXCEEDED:' || table_id || ':' || bucket
+                   AS url,
+               'replay-invalid-above-cap' AS cluster_key
+        FROM capviol
     """
 
 

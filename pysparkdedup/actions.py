@@ -105,8 +105,21 @@ def _write(df: DataFrame, out_path: str, fmt: str, append: bool) -> None:
             # The builtin V2SessionCatalog lacks atomic REPLACE TABLE AS
             # SELECT and rejects V2 appends into V1-provider tables
             # (Iceberg supports both); fall back to the V1 writer there.
-            if ("UNSUPPORTED_FEATURE" not in str(exc)
-                    and "v1 table" not in str(exc)):
+            # Match on the structured error class first (advice r3: message
+            # substrings are wording-fragile across Spark versions), with the
+            # substring test as the fallback for errors that carry no class.
+            err_class = ""
+            for probe in ("getCondition", "getErrorClass"):  # 4.x name first
+                get_cls = getattr(exc, probe, None)
+                if callable(get_cls):
+                    err_class = get_cls() or ""
+                    break
+            v1_fallback = (
+                err_class.startswith("UNSUPPORTED_FEATURE")
+                or "UNSUPPORTED_FEATURE" in str(exc)
+                or "v1 table" in str(exc)
+            )
+            if not v1_fallback:
                 raise
             df.write.mode(mode).saveAsTable(out_path)
         return

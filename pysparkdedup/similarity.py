@@ -301,6 +301,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     worst nprobe lists per query, never a cross join."""
     cent_pdf = ivf_centroids(corpus, n_list, seed,
                              id_col=id_col, emb_col=emb_col).toPandas()
+    if cent_pdf.empty:
+        # An empty corpus would otherwise surface as an opaque np.vstack
+        # ValueError inside the assignment UDF (advice r3); an empty result
+        # frame is the honest answer — there is nothing to rank.
+        return corpus.sparkSession.createDataFrame(
+            [], schema=f"query_id long, {id_col} long, cosine double, rank int")
     corpus_lists = _ivf_assign(corpus, cent_pdf, 1, id_col, emb_col, id_col)
     query_lists = _ivf_assign(queries, cent_pdf, nprobe,
                               "query_id", emb_col, "query_id")

@@ -182,3 +182,17 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     exact = _numpy_topk(emb_pdf, queries_pdf["query_id"].tolist(), 5)
     overlaps = [len(by_q.get(q, set()) & exact[q]) / 5 for q in exact]
     assert sum(overlaps) / len(overlaps) >= 0.3  # nprobe 4/16 of the corpus
+
+
+def test_ivf_topk_empty_corpus_returns_empty(spark):
+    """An empty corpus must yield an empty ranked frame, not an opaque
+    np.vstack ValueError inside the assignment UDF (advice r3)."""
+    from pysparkdedup.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(1, [0.1, 0.2])],
+                              "query_id long, embedding array<float>")
+    out = ivf_topk(empty, q, k=3, n_list=8, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "cosine", "rank"]
