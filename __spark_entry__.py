@@ -630,6 +630,24 @@ def _q_embedding_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", "rank")
 
 
+def _q_embedding_ivf_lloyd_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with ONE pinned Lloyd refinement pass (similarity.lloyd_refine,
+    verdict r3 #8) — fully oracle-checked: DuckDB replays the sampled
+    centroids, the rn=1 assignment, the per-dimension AVG mean per list
+    (empty lists keep the sampled centroid), the query re-probe against the
+    REFINED centroids, and the exact-cosine re-rank. Float caveat as for the
+    bucket oracle: mean/cosine reduction order is unspecified on the SQL
+    side, but only integer (query_id, vec_id, rank) columns are hashed and
+    rank ties re-score with exact embeddings, so LSB drift is inert."""
+    from pysparkdedup.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=3, n_list=16, nprobe=4,
+                    lloyd_iters=1).select("query_id", "vec_id", "rank")
+
+
 def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate nearest neighbor (similarity.lsh_topk) — fully
     oracle-checked: DuckDB replays the hash-deterministic buckets, the
@@ -735,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs_docs": _q_simhash_sigs_docs,
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
         "embedding_ivf_top1": _q_embedding_ivf_top1,
+        "embedding_ivf_lloyd_top1": _q_embedding_ivf_lloyd_top1,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
@@ -1052,6 +1071,83 @@ def _emb_ivf_top1_oracle_sql() -> str:
                        PARTITION BY e.vec_id
                        ORDER BY {cos_cent} DESC, c.list_id ASC) AS rn
             FROM embeddings e, cent c
+        ),
+        corpus_lists AS (SELECT vec_id, list_id FROM ranked WHERE rn = 1),
+        query_lists AS (
+            SELECT vec_id AS query_id, list_id FROM ranked
+            WHERE rn <= 4 AND vec_id < 20
+        ),
+        cand AS (
+            SELECT q.query_id, cl.vec_id
+            FROM query_lists q JOIN corpus_lists cl USING (list_id)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id, {cos} AS cosine
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        )
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC)
+                       ::INTEGER AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """
+
+
+def _emb_ivf_lloyd_top1_oracle_sql() -> str:
+    """DuckDB replay of similarity.ivf_topk(lloyd_iters=1): the sampled
+    centroids (same literals as the zero-iteration oracle), corpus assigned
+    rn=1 by (cosine DESC, list_id ASC), refined centroid = per-dimension
+    AVG of each list (COALESCE keeps the sampled centroid for an empty
+    list), then the standard nprobe=4 / k=3 search against the REFINED
+    centroids."""
+    from pysparkdedup.similarity import _PLANE_M, plane_coeffs
+
+    a, b = (int(x[0, 0]) for x in plane_coeffs(1, 1, seed=42))
+    cos_cent0 = _DUCK_COSINE.format(x="e", y="c")
+    cos = _DUCK_COSINE.format(x="qe", y="ce")
+    # one side is already a DOUBLE[] list (the refined centroid)
+    cos_cent1 = """list_dot_product(e.embedding::DOUBLE[], c.centroid)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.centroid, c.centroid)))"""
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS list_id, embedding FROM embeddings
+            ORDER BY ({a} * (vec_id % {_PLANE_M}) + {b}) % {_PLANE_M}, vec_id
+            LIMIT 16
+        ),
+        ranked0 AS (
+            SELECT e.vec_id, c.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_cent0} DESC, c.list_id ASC) AS rn
+            FROM embeddings e, cent c
+        ),
+        assign0 AS (SELECT vec_id, list_id FROM ranked0 WHERE rn = 1),
+        dims AS (
+            SELECT a0.list_id,
+                   generate_subscripts(e.embedding, 1) AS d,
+                   unnest(e.embedding)::DOUBLE AS val
+            FROM assign0 a0 JOIN embeddings e ON e.vec_id = a0.vec_id
+        ),
+        means AS (SELECT list_id, d, avg(val) AS m FROM dims GROUP BY 1, 2),
+        rcent AS (SELECT list_id, list(m ORDER BY d) AS centroid
+                  FROM means GROUP BY 1),
+        cent1 AS (
+            SELECT c.list_id,
+                   COALESCE(r.centroid, c.embedding::DOUBLE[]) AS centroid
+            FROM cent c LEFT JOIN rcent r USING (list_id)
+        ),
+        ranked AS (
+            SELECT e.vec_id, c.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_cent1} DESC, c.list_id ASC) AS rn
+            FROM embeddings e, cent1 c
         ),
         corpus_lists AS (SELECT vec_id, list_id FROM ranked WHERE rn = 1),
         query_lists AS (
@@ -1563,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
         "embedding_lsh_buckets": _emb_buckets_oracle_sql(),
         "embedding_ivf_top1": _emb_ivf_top1_oracle_sql(),
+        "embedding_ivf_lloyd_top1": _emb_ivf_lloyd_top1_oracle_sql(),
         "embedding_ann_top1": _emb_ann_top1_oracle_sql(),
         "embedding_dup_clusters": _emb_dup_clusters_oracle_sql(),
         "winnow_fingerprints_docs": r"""

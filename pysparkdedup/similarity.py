@@ -249,6 +249,50 @@ def ivf_centroids(corpus: DataFrame, n_list: int = 16, seed: int = 42,
     )
 
 
+def lloyd_refine(corpus: DataFrame, cent_pdf: pd.DataFrame, iters: int = 1,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> pd.DataFrame:
+    """``iters`` pinned Lloyd iterations over the sampled centroids
+    (k-means refinement of the IVF coarse quantizer, Jegou TPAMI'11 §II):
+    assign every corpus vector to its nearest centroid (cosine DESC,
+    list_id ASC — the same rule the search path uses), move each centroid
+    to the per-dimension MEAN of its list, keep the old centroid for an
+    empty list. list_ids stay the original sampled ids, so the search path
+    and the oracle reference stable lists.
+
+    Scale shape: assignment is the Arrow-batched map ``_ivf_assign`` (no
+    shuffle); the mean is a posexplode -> groupBy(list_id, dim) hash
+    aggregation — n*d skinny rows with map-side partial combine, then
+    n_list result rows to the driver. Cosine is scale-invariant, so the
+    un-normalized mean quantizes identically to the spherical-k-means
+    normalized mean.
+
+    Float note: the mean is an unordered double aggregation, so centroid
+    LSBs can vary with partition order; assignment flips only on exact
+    cosine ties against both centroids (~1e-16), and the final ranking
+    always re-scores with EXACT embeddings, so integer outputs are stable
+    in practice (same acceptance as the sign-LSH bucket oracle)."""
+    for _ in range(iters):
+        assign = _ivf_assign(corpus, cent_pdf, 1, id_col, emb_col, id_col)
+        refined = (
+            corpus.join(assign, id_col)
+            .select("list_id", F.posexplode(F.col(emb_col)).alias("d", "v"))
+            .groupBy("list_id", "d")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("list_id", F.expr("transform(dm, x -> x.m)").alias("_rc"))
+            .toPandas()
+        )
+        merged = cent_pdf.merge(refined, on="list_id", how="left")
+        merged["centroid"] = [
+            rc if isinstance(rc, (list, np.ndarray)) else c
+            for c, rc in zip(merged["centroid"], merged["_rc"])
+        ]
+        cent_pdf = merged[["list_id", "centroid"]]
+    return cent_pdf
+
+
 def _ivf_assign(df: DataFrame, cent_pdf: pd.DataFrame, nprobe: int,
                 id_col: str, emb_col: str, out_id: str) -> DataFrame:
     """(out_id, list_id): the ``nprobe`` nearest centroids by
@@ -288,10 +332,14 @@ def _ivf_assign(df: DataFrame, cent_pdf: pd.DataFrame, nprobe: int,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_list: int = 16, nprobe: int = 4, seed: int = 42,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             lloyd_iters: int = 0) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed under their
     nearest sampled centroid (``ivf_centroids``); each query probes its
     ``nprobe`` nearest lists and exact cosine re-ranks the candidates.
+    ``lloyd_iters`` > 0 runs that many pinned k-means refinement passes over
+    the sampled centroids first (``lloyd_refine``) — materially better
+    recall on clustered corpora, same search path.
 
     The scale shape mirrors lsh_topk: centroids are a broadcast-sized frame
     (n_list ~ sqrt(n) at most), assignment is one Arrow-batched map over the
@@ -301,6 +349,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     worst nprobe lists per query, never a cross join."""
     cent_pdf = ivf_centroids(corpus, n_list, seed,
                              id_col=id_col, emb_col=emb_col).toPandas()
+    if lloyd_iters and not cent_pdf.empty:
+        cent_pdf = lloyd_refine(corpus, cent_pdf, lloyd_iters,
+                                id_col=id_col, emb_col=emb_col)
     if cent_pdf.empty:
         # An empty corpus would otherwise surface as an opaque np.vstack
         # ValueError inside the assignment UDF (advice r3); an empty result

