@@ -251,13 +251,16 @@ def _q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-shingle Jaccard self-join, integer outputs (ngram.py).
-
-    Deliberately omits the df-cut so the DuckDB oracle replays it exactly —
-    a small-sf contract query ONLY (quadratic on hot shingles at scale); the
-    production path is ngram.jaccard_edges with the df-cut (bench.py)."""
+    """Exact 5-shingle Jaccard self-join, integer outputs (ngram.py), WITH
+    the production df-cut (max_df=100, the same guard jaccard_edges ships
+    and bench.py runs) replayed in the oracle — closing the r3-carried
+    divergence where the contract query omitted the cut. Outputs stay
+    integers (n_common, na, nb) so no float rides the hash; note na/nb
+    count ALL of a doc's distinct shingles (set sizes), while the df-cut
+    only prunes the join keys — exactly jaccard_edges' semantics."""
     from pysparkdedup.ngram import with_shingles
 
+    max_df = 100
     d = _docs(spark, sf_dir).select("doc_id", "text")
     sh = (
         with_shingles(d, k=5)
@@ -266,6 +269,9 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nsh") > 0)
     )
     posting = sh.select("_id", "_nsh", F.explode("shingles").alias("sh"))
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    hot = freq.filter(F.col("_df") > max_df).select("sh")
+    posting = posting.join(F.broadcast(hot), "sh", "left_anti")
     left = posting.select(F.col("_id").alias("a"), F.col("_nsh").alias("na"), "sh")
     right = posting.select(F.col("_id").alias("b"), F.col("_nsh").alias("nb"), "sh")
     inter = (
@@ -1460,9 +1466,16 @@ def oracle_sql() -> dict[str, str]:
                       FROM toks)
             ), sized AS (
                 SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+            ), kept AS (
+                -- the production df-cut (max_df=100): shingles shared by
+                -- more docs are dropped from the JOIN KEYS only; set sizes
+                -- (nsh) still count every distinct shingle
+                SELECT sh.* FROM sh
+                JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100) f
+                  ON f.s = sh.s
             ), inter AS (
                 SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
-                FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+                FROM kept l JOIN kept r ON l.s = r.s AND l.doc_id < r.doc_id
                 GROUP BY 1, 2
             )
             SELECT a, b, n_common, sa.nsh AS na, sb.nsh AS nb
