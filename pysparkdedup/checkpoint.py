@@ -24,13 +24,14 @@ restarts and restores every already-signed row without recompute.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
@@ -50,6 +51,30 @@ class ConcurrentCommitError(RuntimeError):
     The reference locks boxes for the whole run (ref mail_box.py:424-445);
     without this, two concurrent commits would silently last-win on the
     manifest swap and orphan the loser's data dir."""
+
+
+@dataclasses.dataclass(frozen=True)
+class ResumeMetrics:
+    """Counters for one checkpointed signature run (the table-scale analog of
+    the reference's per-run cache statistics, ref cache.py:292-346 /
+    deduplicate.py:750-767 logging): how much work the checkpoint saved.
+
+    - ``reused``:     rows restored from the checkpoint without recompute;
+    - ``recomputed``: rows signed fresh (new url, or stale_key changed);
+    - ``pruned``:     checkpoint rows whose url vanished from the snapshot
+                      (dropped on commit, ref cache.py:348-393);
+    - ``total``:      rows in the committed snapshot (= reused + recomputed).
+
+    Durable: the commit writes these into the manifest, so an operator can
+    audit any past run's hit rate without re-running it."""
+
+    reused: int
+    recomputed: int
+    pruned: int
+    total: int
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
 
 
 def stale_key_col(full: bool = False) -> F.Column:
@@ -225,23 +250,65 @@ class SignatureCheckpoint:
                 shutil.rmtree(os.path.join(self.path, name),
                               ignore_errors=True)
 
-    def commit(self, signatures: DataFrame, cfg: DedupConfig) -> None:
+    def commit(
+        self,
+        signatures: DataFrame,
+        cfg: DedupConfig,
+        metrics_fn=None,
+        input_files: list[str] | None = None,
+    ) -> None:
         """Atomic replace: write parquet to a fresh dir, then swap the
         manifest pointer (the one-transaction property, ref cache.py:399-416).
         The whole sequence runs under the writer lock: a second concurrent
         commit raises ConcurrentCommitError instead of silently last-winning
-        and orphaning a data dir."""
+        and orphaning a data dir.
+
+        The manifest records per-partition lineage alongside the pointer:
+        one row per committed parquet file with its row count and url range
+        (gathered by a column-pruned scan of the just-written files — the
+        signature table, not the corpus, so metadata-scale cost), plus the
+        distinct source files that fed the snapshot and the run's
+        ResumeMetrics. That makes a resume auditable offline: which inputs
+        produced which partitions, and how much the checkpoint saved."""
         os.makedirs(self.path, exist_ok=True)
         token = self._acquire_lock()
         try:
             new_dir = f"{DATA_DIR}-{uuid.uuid4().hex[:12]}"
             signatures.write.mode("overwrite").parquet(
                 os.path.join(self.path, new_dir))
+            committed = signatures.sparkSession.read.parquet(
+                os.path.join(self.path, new_dir))
+            partitions = [
+                {
+                    "file": os.path.basename(r["file"]),
+                    "rows": r["rows"],
+                    "url_min": r["url_min"],
+                    "url_max": r["url_max"],
+                }
+                for r in committed.groupBy(
+                    F.input_file_name().alias("file")).agg(
+                        F.count("*").alias("rows"),
+                        F.min("url").alias("url_min"),
+                        F.max("url").alias("url_max"),
+                ).collect()
+            ]
+            partitions.sort(key=lambda p: p["file"])
+            # metrics_fn runs AFTER the write job (its Observations are
+            # filled by that job) and BEFORE the manifest swap, so metrics
+            # and data pointer land in one atomic rename.
+            metrics = metrics_fn() if metrics_fn is not None else None
             manifest = {
                 "fingerprint": cfg.signature_fingerprint(),
                 "data": new_dir,
                 "config": cfg.to_dict(),
+                "committed_at": time.time(),
+                "partitions": partitions,
+                "total_rows": sum(p["rows"] for p in partitions),
             }
+            if metrics is not None:
+                manifest["metrics"] = metrics.to_dict()
+            if input_files:
+                manifest["input_files"] = sorted(input_files)
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh, indent=2, default=str)
@@ -249,6 +316,19 @@ class SignatureCheckpoint:
             self._gc_orphans(keep_dir=new_dir)
         finally:
             self._release_lock(token)
+
+    def lineage(self) -> list[dict]:
+        """Per-partition lineage of the committed snapshot: one entry per
+        parquet file with rows + url range. Empty when no commit exists."""
+        manifest = self.read_manifest()
+        return list(manifest.get("partitions", [])) if manifest else []
+
+    def last_metrics(self) -> ResumeMetrics | None:
+        """ResumeMetrics of the last committed run, or None."""
+        manifest = self.read_manifest()
+        if not manifest or "metrics" not in manifest:
+            return None
+        return ResumeMetrics(**manifest["metrics"])
 
 
 def signatures_with_checkpoint(
@@ -269,6 +349,14 @@ def signatures_with_checkpoint(
     the parquet files are the durable copy — on a real cluster a
     localCheckpoint-backed return frame would die with a lost executor
     mid-downstream even though the commit succeeded (verdict r2 #4).
+
+    With ``commit=True`` the manifest also records ResumeMetrics (reused /
+    recomputed / pruned counts) and per-partition lineage. The reused and
+    recomputed counters ride the commit's own write job as Observations —
+    zero extra jobs; the pruned count is one url-only anti-join count
+    (column-pruned scan of the old snapshot's keys, metadata-scale). Read
+    them back via ``SignatureCheckpoint(path).last_metrics()`` /
+    ``.lineage()``.
     """
     spark = pages.sparkSession
     ckpt = SignatureCheckpoint(checkpoint_path)
@@ -276,24 +364,51 @@ def signatures_with_checkpoint(
 
     keyed = pages.withColumn(
         "stale_key", stale_key_col(full=cfg.stale_key_full))
+    tag = uuid.uuid4().hex[:8]
+    obs_hit = Observation(f"ckpt_reused_{tag}")
+    obs_fresh = Observation(f"ckpt_recomputed_{tag}")
+    n_pruned = 0
     if cached is None:
-        fresh = compute_signatures(pages, cfg)
+        fresh = compute_signatures(pages, cfg).observe(
+            obs_fresh, F.count(F.lit(1)).alias("n"))
         result = fresh
+        hits = None
     else:
         hits = keyed.select("url", "stale_key").join(
-            cached, ["url", "stale_key"], "inner")
+            cached, ["url", "stale_key"], "inner").observe(
+                obs_hit, F.count(F.lit(1)).alias("n"))
         miss_rows = keyed.join(
             cached.select("url", "stale_key"), ["url", "stale_key"],
             "left_anti")
-        fresh = compute_signatures(miss_rows.drop("stale_key"), cfg)
+        fresh = compute_signatures(miss_rows.drop("stale_key"), cfg).observe(
+            obs_fresh, F.count(F.lit(1)).alias("n"))
         result = hits.unionByName(fresh)
+        # Vanished rows: in the old snapshot, url no longer present. Counted
+        # over the two key columns only (column pruning keeps this cheap even
+        # when the signature payload is wide).
+        n_pruned = cached.select("url").join(
+            keyed.select("url"), "url", "left_anti").count()
 
     if commit:
         # The parquet write IS the one materialization of the signature
         # computation; re-reading the committed files gives the caller a
         # durable frame for free (no executor-storage blocks to lose, no
-        # second compute).
-        ckpt.commit(result, cfg)
+        # second compute). Source-file lineage comes from the snapshot frame
+        # itself (empty for non-file-backed inputs, e.g. in-memory tests).
+        input_files = [
+            r["f"] for r in pages.select(
+                F.input_file_name().alias("f")).distinct().collect()
+            if r["f"]
+        ]
+
+        def _metrics() -> ResumeMetrics:
+            n_reused = int(obs_hit.get["n"]) if hits is not None else 0
+            n_fresh = int(obs_fresh.get["n"])
+            return ResumeMetrics(
+                reused=n_reused, recomputed=n_fresh,
+                pruned=n_pruned, total=n_reused + n_fresh)
+
+        ckpt.commit(result, cfg, metrics_fn=_metrics, input_files=input_files)
         committed = ckpt.load(spark, cfg)
         assert committed is not None  # we just wrote this fingerprint
         return committed

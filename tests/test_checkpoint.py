@@ -300,3 +300,56 @@ def test_two_breakers_race_exactly_one_wins(pages, tmp_path):
     assert os.path.exists(a._lock_path())
     a._release_lock(token_a)
     assert not os.path.exists(a._lock_path())
+
+
+def test_manifest_metrics_and_lineage(pages_factory, tmp_path):
+    """north_rule: resume is auditable — the manifest carries per-partition
+    lineage (file / rows / url range) and the run's ResumeMetrics."""
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    v1 = pages_factory([
+        ("u/a", ts(0), "alpha " * 30, "en"),
+        ("u/b", ts(1), "beta " * 30, "en"),
+    ])
+    signatures_with_checkpoint(v1, cfg, path)
+    ckpt = SignatureCheckpoint(path)
+
+    m1 = ckpt.last_metrics()
+    assert dataclasses.asdict(m1) == {
+        "reused": 0, "recomputed": 2, "pruned": 0, "total": 2}
+    lin1 = ckpt.lineage()
+    assert lin1 and sum(p["rows"] for p in lin1) == 2
+    for p in lin1:
+        if p["rows"]:
+            assert p["url_min"] <= p["url_max"]
+            assert p["file"].endswith(".parquet")
+    assert ckpt.read_manifest()["total_rows"] == 2
+
+    # second run: u/a unchanged (reused), u/b vanished (pruned), u/c new
+    v2 = pages_factory([
+        ("u/a", ts(0), "alpha " * 30, "en"),
+        ("u/c", ts(2), "gamma " * 30, "en"),
+    ])
+    signatures_with_checkpoint(v2, cfg, path)
+    m2 = ckpt.last_metrics()
+    assert dataclasses.asdict(m2) == {
+        "reused": 1, "recomputed": 1, "pruned": 1, "total": 2}
+    assert sum(p["rows"] for p in ckpt.lineage()) == 2
+
+
+def test_manifest_input_file_lineage(spark, tmp_path, pages_factory):
+    """File-backed snapshots record WHICH source files fed the commit."""
+    cfg = DedupConfig()
+    src = str(tmp_path / "corpus")
+    pages_factory([
+        ("u/a", ts(0), "alpha " * 30, "en"),
+        ("u/b", ts(1), "beta " * 30, "en"),
+    ]).write.parquet(src)
+    pages = spark.read.parquet(src)
+
+    path = str(tmp_path / "ckpt")
+    signatures_with_checkpoint(pages, cfg, path)
+    manifest = SignatureCheckpoint(path).read_manifest()
+    files = manifest.get("input_files", [])
+    assert files and all("corpus" in f and f.endswith(".parquet")
+                         for f in files)
