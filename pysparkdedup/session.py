@@ -22,20 +22,30 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    if master is None:
+    # Under spark-submit the JVM already exists (PythonRunner execs this
+    # process with PYSPARK_GATEWAY_PORT set) and spark.master / --conf flags
+    # are in its conf. Stomping them with a local[] default would silently
+    # turn a cluster submit into a single-box run — so when the caller didn't
+    # ask for a specific master, defer to the submit conf entirely.
+    submitted = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not submitted:
         if master.startswith("local["):
             inner = master[len("local[") : -1]
             shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
         else:
             shuffle_partitions = 200
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
