@@ -22,13 +22,16 @@ DEFAULT_MAX_DF = 1000
 
 
 def _shingles_expr(tokens: F.Column, k: int) -> F.Column:
-    return F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(0)),
+    # Guarded for short docs: sequence(1, 0) DESCENDS in Spark ([1, 0]),
+    # which would feed slice() a start of 0 and crash the job on the first
+    # document with fewer than k tokens.
+    return F.when(
+        F.size(tokens) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
         ),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def with_shingles(df: DataFrame, k: int, text_col: str = "text",

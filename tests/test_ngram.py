@@ -27,3 +27,16 @@ def test_jaccard_edges_exact(pages_factory):
     # one token change kills 5 shingles of 100: J = 95/105
     assert abs(edges[("u/a", "u/b")] - 95 / 105) < 1e-9
     assert all("u/c" not in pair for pair in edges)
+
+
+def test_with_shingles_short_doc_is_empty_not_crash(spark):
+    """Docs shorter than k tokens yield an empty shingle set; previously
+    sequence(1,0) descended and slice(start=0) aborted the whole job."""
+    from pysparkdedup.ngram import with_shingles
+
+    d = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d e f")], "doc_id long, text string")
+    got = {r["doc_id"]: r["shingles"]
+           for r in with_shingles(d, 5).collect()}
+    assert got[1] == []
+    assert len(got[2]) == 2

@@ -1,0 +1,126 @@
+"""Repetition stats, boilerplate line removal, benchmark decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkdedup.decontam import contamination
+from pysparkdedup.repetition import (
+    chunk_lines_expr,
+    drop_boilerplate_lines,
+    line_doc_frequency,
+    repetition_stats,
+    tokens_expr,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_values(spark):
+    d = docs(spark, [
+        (1, "a b a b a"),   # 2-grams: "a b" x2, "b a" x2
+        (2, "x y z"),       # "x y", "y z" once each
+        (3, ""),            # no grams
+        (4, None),
+    ])
+    got = by_id(repetition_stats(d, n=2))
+    assert got[1]["n_grams"] == 4 and got[1]["distinct_grams"] == 2
+    assert got[1]["dup_gram_frac"] == 1.0
+    # top gram: cnt ties at 2, len ties at 3, "b a" > "a b" lexically
+    assert got[1]["top_gram_frac"] == pytest.approx(0.5)
+    assert got[2]["n_grams"] == 2 and got[2]["dup_gram_frac"] == 0.0
+    assert got[2]["top_gram_frac"] == pytest.approx(0.5)
+    for empty in (3, 4):
+        assert got[empty]["n_grams"] == 0
+        assert got[empty]["top_gram_frac"] == 0.0
+        assert got[empty]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_stats_short_doc_no_gram(spark):
+    # doc shorter than n yields zero grams, not a crash
+    got = by_id(repetition_stats(docs(spark, [(1, "solo")]), n=2))
+    assert got[1]["n_grams"] == 0
+
+
+def test_chunk_lines(spark):
+    text = " ".join(f"t{i}" for i in range(25))
+    row = docs(spark, [(1, text)]).select(
+        chunk_lines_expr(tokens_expr(), 10).alias("lines")).head()
+    lines = row["lines"]
+    assert len(lines) == 3
+    assert lines[0].split() == [f"t{i}" for i in range(10)]
+    assert lines[2].split() == [f"t{i}" for i in range(20, 25)]
+
+
+def with_lines(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lines array<string>")
+
+
+def test_line_doc_frequency_counts_docs_not_occurrences(spark):
+    d = with_lines(spark, [
+        (1, ["footer", "footer", "body1"]),
+        (2, ["footer", "body2"]),
+    ])
+    freq = {r["line"]: r["df"] for r in line_doc_frequency(d).collect()}
+    assert freq == {"footer": 2, "body1": 1, "body2": 1}
+
+
+def test_drop_boilerplate_lines(spark):
+    d = with_lines(spark, [
+        (1, ["head", "footer", "body one", "footer"]),
+        (2, ["footer", "body two"]),
+        (3, ["footer"]),
+        (4, []),
+    ])
+    got = by_id(drop_boilerplate_lines(d, min_df=3))
+    assert got[1]["kept_lines"] == ["head", "body one"]  # order preserved
+    assert got[1]["clean_text"] == "head\nbody one"
+    assert got[1]["n_lines"] == 4 and got[1]["n_dropped"] == 2
+    assert got[2]["kept_lines"] == ["body two"]
+    assert got[3]["kept_lines"] == [] and got[3]["clean_text"] == ""
+    assert got[4]["n_lines"] == 0 and got[4]["n_dropped"] == 0
+
+
+def test_drop_boilerplate_threshold_not_met(spark):
+    d = with_lines(spark, [
+        (1, ["shared", "a"]),
+        (2, ["shared", "b"]),
+    ])
+    got = by_id(drop_boilerplate_lines(d, min_df=3))
+    assert got[1]["kept_lines"] == ["shared", "a"]
+    assert got[2]["n_dropped"] == 0
+
+
+def test_contamination(spark):
+    corpus = docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated words here only friend"),
+        (3, ""),
+    ])
+    benchmark = docs(spark, [
+        (100, "quick brown fox jumps"),
+    ])
+    got = by_id(contamination(corpus, benchmark, k=3))
+    assert got[1]["contaminated"] is True
+    # benchmark 3-shingles: "quick brown fox", "brown fox jumps" — both in doc 1
+    assert got[1]["n_overlap"] == 2
+    assert got[1]["n_shingles"] == 7
+    assert got[2]["contaminated"] is False and got[2]["n_overlap"] == 0
+    assert got[3]["n_shingles"] == 0 and got[3]["contaminated"] is False
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The corpus side must not shuffle for the overlap join: the benchmark
+    shingle dim is broadcast (100-TB contract of decontam.py)."""
+    from tests.test_plans import plan_of
+
+    corpus = docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)])
+    benchmark = docs(spark, [(999, "w5 w6 w7")])
+    plan = plan_of(contamination(corpus, benchmark, k=3))
+    assert "BroadcastHashJoin" in plan
