@@ -718,6 +718,48 @@ def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_clusters(emb, threshold=0.35, n_tables=16, n_bits=6)
 
 
+def _q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc 2-gram repetition signals (repetition.py):
+    per-doc gram counts plus top-gram and duplicate-gram character
+    fractions. Deterministic top-gram tie-break (count, then gram length,
+    then gram text — max(struct) in Spark, the matching ORDER BY in the
+    oracle's row_number)."""
+    from pysparkdedup.repetition import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+def _q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus boilerplate removal (repetition.py): lines =
+    deterministic 10-token chunks (the synthetic corpus has no newlines),
+    drop every line occurring in >= 5 distinct docs, rebuild the text in
+    original order."""
+    from pysparkdedup.repetition import (
+        chunk_lines_expr, drop_boilerplate_lines, tokens_expr)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", chunk_lines_expr(tokens_expr(), 10).alias("lines"))
+    out = drop_boilerplate_lines(d, min_df=5, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "clean_text",
+    )
+
+
+def _q_decontam_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (decontam.py): the eval set is the
+    deterministic doc_id % 97 == 0 slice of the corpus itself, so overlap
+    is guaranteed non-trivial (every benchmark doc self-overlaps) and the
+    oracle can rebuild the same set. k=5 shingles, ngram.py's tokenizer."""
+    from pysparkdedup.decontam import contamination
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination(d, bench, k=5, min_overlap=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -769,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (iterative greedy eviction over pairwise ndiff counts —
         # not SQL-expressible)
         "guards_eviction_docs": _q_guards_eviction_docs,
+        "repetition_stats_docs": _q_repetition_stats_docs,
+        "boilerplate_lines_docs": _q_boilerplate_lines_docs,
+        "decontam_overlap_docs": _q_decontam_overlap_docs,
     }
 
 
@@ -1667,6 +1712,109 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "guards_eviction_size_only": _guards_eviction_size_only_oracle_sql(),
+        "repetition_stats_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '\s+'), t -> t != '') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                      FROM toks)
+            ), per_gram AS (
+                SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                FROM grams GROUP BY doc_id, gram
+            ), ranked AS (
+                -- Spark's max(struct(cnt, glen, gram)): lexicographic max
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, glen DESC, gram DESC) AS rn
+                FROM per_gram
+            ), stats AS (
+                SELECT doc_id, sum(cnt) AS n_grams, count(*) AS distinct_grams,
+                       sum(cnt * glen) AS total_chars,
+                       sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_chars
+                FROM per_gram GROUP BY doc_id
+            ), top AS (
+                SELECT doc_id, cnt * glen AS top_chars FROM ranked WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(s.distinct_grams, 0)::BIGINT AS distinct_grams,
+                   coalesce(round(t.top_chars / greatest(s.total_chars, 1)::DOUBLE, 4),
+                            0.0) AS top_gram_frac,
+                   coalesce(round(s.dup_chars / greatest(s.total_chars, 1)::DOUBLE, 4),
+                            0.0) AS dup_gram_frac
+            FROM documents d
+            LEFT JOIN stats s ON s.doc_id = d.doc_id
+            LEFT JOIN top t ON t.doc_id = d.doc_id
+        """,
+        "boilerplate_lines_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '\s+'), t -> t != '') AS ts
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, c AS pos,
+                       array_to_string(ts[(c*10+1):(c*10+10)], ' ') AS line
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(0,
+                                 cast(ceil(len(ts) / 10.0) AS INT) - 1)) AS c
+                      FROM toks)
+            ), boiler AS (
+                SELECT line FROM chunks
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+            ), kept AS (
+                SELECT c.* FROM chunks c
+                LEFT JOIN boiler b ON b.line = c.line WHERE b.line IS NULL
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            ), nl AS (
+                SELECT doc_id, count(*) AS n_lines FROM chunks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nl.n_lines, 0)::BIGINT AS n_lines,
+                   (coalesce(nl.n_lines, 0) - coalesce(a.n_kept, 0))::BIGINT
+                       AS n_dropped,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN nl ON nl.doc_id = d.doc_id
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "decontam_overlap_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '[^\p{L}\p{N}_]+'), t -> t != '') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+                      FROM toks)
+            ), bench AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+            ), nsh AS (
+                SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), ov AS (
+                SELECT sh.doc_id, count(*) AS n_overlap
+                FROM sh JOIN bench b ON b.s = sh.s GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+                   round(coalesce(o.n_overlap, 0)
+                         / greatest(coalesce(n.n_shingles, 0), 1)::DOUBLE, 4)
+                       AS overlap_frac,
+                   coalesce(o.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d
+            LEFT JOIN nsh n ON n.doc_id = d.doc_id
+            LEFT JOIN ov o ON o.doc_id = d.doc_id
+        """,
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),

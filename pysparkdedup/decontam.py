@@ -60,8 +60,7 @@ def contamination(
         F.col(id_col), F.col("shingles"))
     exploded = doc_sh.select(
         F.col(id_col),
-        F.size("shingles").alias("n_shingles"),
-        F.explode_outer("shingles").alias("sh"),
+        F.explode("shingles").alias("sh"),
     )
     # inner join vs the broadcast benchmark set: only matching shingles
     # survive into the aggregation; shingles are distinct per doc already,
@@ -70,7 +69,8 @@ def contamination(
         F.count(F.lit(1)).alias("n_overlap"))
 
     base = doc_sh.select(
-        F.col(id_col), F.size("shingles").alias("n_shingles"))
+        F.col(id_col),
+        F.size("shingles").cast("long").alias("n_shingles"))
     out = base.join(overlap, id_col, "left").withColumn(
         "n_overlap", F.coalesce("n_overlap", F.lit(0)))
     safe = F.greatest(F.col("n_shingles"), F.lit(1)).cast("double")
