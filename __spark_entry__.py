@@ -735,10 +735,9 @@ def _q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop every line occurring in >= 5 distinct docs, rebuild the text in
     original order."""
     from pysparkdedup.repetition import (
-        chunk_lines_expr, drop_boilerplate_lines, tokens_expr)
+        drop_boilerplate_lines, with_chunk_lines)
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", chunk_lines_expr(tokens_expr(), 10).alias("lines"))
+    d = with_chunk_lines(_docs(spark, sf_dir), 10).select("doc_id", "lines")
     out = drop_boilerplate_lines(d, min_df=5, id_col="doc_id")
     return out.select(
         "doc_id",

@@ -10,6 +10,9 @@ Headline queries exercise the engine's hot paths end to end:
   cascade_events   — window strategy cascade on the events table
   token_quality    — text-analysis column pass
   embedding_topk   — brute-force cosine top-k
+  curation_pass    — repetition stats + boilerplate-line removal +
+                     benchmark decontamination (added round 4; earlier
+                     rounds' totals cover the first 7 queries only)
 """
 
 from __future__ import annotations
@@ -85,6 +88,27 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
         columns={"vec_id": "query_id"})[["query_id", "embedding"]]
     bench("embedding_topk",
           lambda: cosine_topk(emb, queries_pdf, k=10).count())
+
+    # Curation pass (added round 4): repetition stats + boilerplate-line
+    # removal + benchmark decontamination in one timing — the "filter the
+    # corpus before training" path alongside dedup.
+    from pysparkdedup.decontam import contamination
+    from pysparkdedup.repetition import (
+        drop_boilerplate_lines, repetition_stats, with_chunk_lines)
+
+    docs = pages.select(F.col("url").alias("doc_id"), "text")
+
+    def curation():
+        repetition_stats(docs, n=2).agg(
+            F.avg("dup_gram_frac"), F.max("top_gram_frac")).collect()
+        lined = with_chunk_lines(docs, 10).select("doc_id", "lines")
+        drop_boilerplate_lines(lined, min_df=5).agg(
+            F.sum("n_dropped")).collect()
+        bench_set = docs.filter(F.crc32("doc_id") % 97 == 0)
+        contamination(docs, bench_set, k=5).agg(
+            F.sum(F.col("contaminated").cast("int"))).collect()
+
+    bench("curation_pass", curation)
 
     pages.unpersist()
     return timings

@@ -54,25 +54,24 @@ def contamination(
     distinct per doc), so thresholds transfer between self-dedup and
     decontamination.
     """
-    bench = F.broadcast(benchmark_shingles(benchmark, k, text_col))
+    bench = F.broadcast(
+        benchmark_shingles(benchmark, k, text_col)
+        .withColumn("_hit", F.lit(1)))
 
-    doc_sh = with_shingles(corpus, k, text_col).select(
-        F.col(id_col), F.col("shingles"))
-    exploded = doc_sh.select(
+    # Single pass over the corpus shingles: n_shingles rides the explode so
+    # the shingle computation runs once, the broadcast LEFT join marks
+    # benchmark matches without dropping rows (zero-overlap docs stay), and
+    # one partial-aggregated groupBy on id folds everything. Shingles are
+    # distinct per doc already, so count(_hit) IS the distinct-overlap count.
+    exploded = with_shingles(corpus, k, text_col).select(
         F.col(id_col),
-        F.explode("shingles").alias("sh"),
+        F.size("shingles").cast("long").alias("_ns"),
+        F.explode_outer("shingles").alias("sh"),
     )
-    # inner join vs the broadcast benchmark set: only matching shingles
-    # survive into the aggregation; shingles are distinct per doc already,
-    # so count(*) per doc IS the distinct-overlap count.
-    overlap = exploded.join(bench, "sh", "inner").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_overlap"))
-
-    base = doc_sh.select(
-        F.col(id_col),
-        F.size("shingles").cast("long").alias("n_shingles"))
-    out = base.join(overlap, id_col, "left").withColumn(
-        "n_overlap", F.coalesce("n_overlap", F.lit(0)))
+    out = exploded.join(bench, "sh", "left").groupBy(id_col).agg(
+        F.max("_ns").alias("n_shingles"),
+        F.count("_hit").alias("n_overlap"),
+    )
     safe = F.greatest(F.col("n_shingles"), F.lit(1)).cast("double")
     return out.select(
         id_col,

@@ -58,11 +58,35 @@ def grams_expr(tokens: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def with_chunk_lines(
+    df: DataFrame,
+    tokens_per_line: int = 10,
+    text_col: str = "text",
+    out_col: str = "lines",
+) -> DataFrame:
+    """``df`` plus an ``out_col`` array of deterministic pseudo-lines.
+
+    Materializes the token array into a column FIRST: passing the raw
+    split() expression into the chunk lambda would re-evaluate tokenization
+    once per chunk slice (no CSE inside lambda bodies) — O(len^2) per doc.
+    """
+    return (
+        df.withColumn("_toks", tokens_expr(text_col))
+        .withColumn(out_col,
+                    chunk_lines_expr(F.col("_toks"), tokens_per_line))
+        .drop("_toks")
+    )
+
+
 def chunk_lines_expr(tokens: Column, tokens_per_line: int) -> Column:
     """Deterministic pseudo-lines: consecutive ``tokens_per_line``-token
     chunks, space-joined. Gives newline-free corpora (like the synthetic
     documents table) a well-defined line unit; real web text uses
-    ``split(text, '\\n')`` instead."""
+    ``split(text, '\\n')`` instead.
+
+    ``tokens`` should be a MATERIALIZED column (see with_chunk_lines), not a
+    raw split() expression — lambdas re-evaluate their captured expressions
+    per element."""
     w = tokens_per_line
     n_chunks = F.ceil(F.size(tokens) / F.lit(w)).cast("int")
     return F.when(
@@ -72,6 +96,15 @@ def chunk_lines_expr(tokens: Column, tokens_per_line: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tokens, i * w + 1, w)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _rep_state(prev, run, tot, dup, n, dst, bc, bl, bg) -> Column:
+    """Run-length scan state: current run (prev gram, length), totals, and
+    the best-so-far (count, len, gram) under the lexicographic order."""
+    return F.struct(
+        prev.alias("prev"), run.alias("run"), tot.alias("tot"),
+        dup.alias("dup"), n.alias("n"), dst.alias("dst"),
+        bc.alias("bc"), bl.alias("bl"), bg.alias("bg"))
 
 
 def repetition_stats(
@@ -92,41 +125,69 @@ def repetition_stats(
       total n-gram-occurrence chars.
 
     Ratios are rounded to 4 decimals; documents with no n-grams get 0.0.
-    """
-    toks = tokens_expr(text_col)
-    grams = df.select(
-        F.col(id_col),
-        F.explode_outer(grams_expr(toks, n)).alias("gram"),
-    )
-    per_gram = grams.filter(F.col("gram").isNotNull()).groupBy(
-        id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    per_gram = per_gram.withColumn("glen", F.length("gram"))
 
-    stats = per_gram.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_grams"),
-        F.count(F.lit(1)).alias("distinct_grams"),
-        F.sum(F.col("cnt") * F.col("glen")).alias("_total_chars"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen"))
-              .otherwise(F.lit(0))).alias("_dup_chars"),
-        F.max(F.struct("cnt", "glen", "gram")).alias("_top"),
-    )
-    safe = F.greatest(F.col("_total_chars"), F.lit(1)).cast("double")
-    stats = stats.select(
-        id_col,
-        "n_grams",
-        "distinct_grams",
-        F.round(
-            (F.col("_top.cnt") * F.col("_top.glen")) / safe, 4
-        ).alias("top_gram_frac"),
-        F.round(F.col("_dup_chars") / safe, 4).alias("dup_gram_frac"),
-    )
-    # left join keeps gram-free docs (empty text) with zeroed signals
-    return df.select(id_col).join(stats, id_col, "left").select(
-        id_col,
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
-        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
-        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+    Implementation is SHUFFLE-FREE: the stats are per-document, so instead of
+    exploding every gram into a corpus-wide (id, gram) aggregation (a shuffle
+    of the whole token stream), each document sorts its own gram array and a
+    single JVM ``aggregate`` pass counts run lengths — embarrassingly
+    parallel, scan → project, nothing moves between executors. A run's close
+    folds its (count, len, gram) into the best-so-far with a struct
+    comparison, reproducing ``max(struct(cnt, glen, gram))`` exactly (the
+    empty-string sentinel never beats a real gram).
+    """
+    zero = F.lit(0).cast("long")
+    # Materialized token column: the gram lambda slices a computed array
+    # instead of re-running split+filter per gram (O(len^2) otherwise).
+    grams_sorted = F.array_sort(grams_expr(F.col("_rep_toks"), n))
+
+    def close_run(acc):
+        """(dup, dst, best) after folding the current run, if any."""
+        plen = F.length(acc["prev"]).cast("long")
+        ndup = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * plen).otherwise(zero)
+        ndst = acc["dst"] + F.when(acc["run"] > 0, F.lit(1).cast("long")
+                                   ).otherwise(zero)
+        cand = F.struct(acc["run"].alias("bc"), plen.alias("bl"),
+                        acc["prev"].alias("bg"))
+        cur = F.struct(acc["bc"].alias("bc"), acc["bl"].alias("bl"),
+                       acc["bg"].alias("bg"))
+        best = F.when(cand > cur, cand).otherwise(cur)
+        return ndup, ndst, best
+
+    def merge(acc, g):
+        glen = F.length(g).cast("long")
+        ndup, ndst, best = close_run(acc)
+        return F.when(
+            acc["prev"] == g,
+            _rep_state(g, acc["run"] + 1, acc["tot"] + glen, acc["dup"],
+                       acc["n"] + 1, acc["dst"],
+                       acc["bc"], acc["bl"], acc["bg"]),
+        ).otherwise(
+            _rep_state(g, F.lit(1).cast("long"), acc["tot"] + glen, ndup,
+                       acc["n"] + 1, ndst,
+                       best["bc"], best["bl"], best["bg"]),
+        )
+
+    def finish(acc):
+        fdup, fdst, best = close_run(acc)
+        safe = F.greatest(acc["tot"], F.lit(1)).cast("double")
+        return F.struct(
+            acc["n"].alias("n_grams"),
+            fdst.alias("distinct_grams"),
+            F.round((best["bc"] * best["bl"]) / safe, 4
+                    ).alias("top_gram_frac"),
+            F.round(fdup / safe, 4).alias("dup_gram_frac"),
+        )
+
+    init = _rep_state(F.lit(""), zero, zero, zero, zero, zero,
+                      zero, zero, F.lit(""))
+    out = F.aggregate(grams_sorted, init, merge, finish)
+    return df.withColumn("_rep_toks", tokens_expr(text_col)).select(
+        F.col(id_col),
+        out["n_grams"].alias("n_grams"),
+        out["distinct_grams"].alias("distinct_grams"),
+        out["top_gram_frac"].alias("top_gram_frac"),
+        out["dup_gram_frac"].alias("dup_gram_frac"),
     )
 
 
@@ -166,40 +227,56 @@ def drop_boilerplate_lines(
     - ``clean_text`` : the surviving lines re-joined with ``'\\n'``;
     - ``n_lines`` / ``n_dropped`` : accounting.
 
-    Only lines AT OR ABOVE the threshold ride the filter join — the
-    boilerplate set, a tiny fraction of distinct lines, which AQE broadcasts
-    when it fits (no shuffle of the exploded corpus side) and falls back to
-    a shuffle hash join when it doesn't.
+    The document payload never shuffles (the engine's dehydration principle):
+    only the light (id, line) projection rides the document-frequency
+    aggregation, and the rebuild is an order-preserving JVM ``filter`` of
+    each document's OWN lines array against its per-doc boilerplate hits —
+    a frame bounded by (docs containing boilerplate) x (few lines each),
+    which AQE broadcasts in the common regime; the fallback is a shuffle
+    join keyed on id that still moves only the hit lines, not the corpus.
     """
-    boiler = line_doc_frequency(df, lines_col, id_col).filter(
-        F.col("df") >= min_df).select("line")
+    del keep_order  # order is always preserved by the array filter
+    from pyspark import StorageLevel
 
-    pos_lines = df.select(
+    from .cache import track
+
+    # The light (id, line) projection feeds BOTH the frequency count and the
+    # per-doc hit set; persist it so the caller's lines expression (often a
+    # chunking transform) evaluates once, not per consumer.
+    light = track(
+        df.select(F.col(id_col), F.explode(lines_col).alias("line"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    boiler = (
+        light.distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+
+    bad_per_doc = (
+        light.join(F.broadcast(boiler), "line", "inner")
+        .groupBy(id_col)
+        .agg(F.collect_set("line").alias("_bad"))
+    )
+
+    joined = df.select(
         F.col(id_col),
-        F.posexplode_outer(lines_col).alias("pos", "line"),
-    )
-    kept = pos_lines.join(boiler, "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", "line"))).alias("_ordered"),
-    )
-    lines_out = F.transform(F.col("_ordered"), lambda s: s["line"])
-    if not keep_order:  # pragma: no cover - order always kept today
-        lines_out = F.array_sort(lines_out)
-    rebuilt = rebuilt.select(
-        id_col,
-        F.filter(lines_out, lambda x: x.isNotNull()).alias("kept_lines"),
-    )
+        F.greatest(F.size(lines_col), F.lit(0)).alias("n_lines"),
+        F.coalesce(
+            F.col(lines_col), F.array().cast("array<string>")
+        ).alias("_lines"),
+    ).join(bad_per_doc, id_col, "left")
 
-    base = df.select(
-        id_col,
-        F.greatest(F.size(lines_col), F.lit(0)).alias("n_lines"))
-    return base.join(rebuilt, id_col, "left").select(
+    kept = F.when(
+        F.col("_bad").isNull(), F.col("_lines")
+    ).otherwise(
+        F.filter(F.col("_lines"),
+                 lambda ln: ~F.array_contains(F.col("_bad"), ln)))
+    return joined.select(
         id_col,
         "n_lines",
-        F.coalesce(
-            "kept_lines", F.array().cast("array<string>")
-        ).alias("kept_lines"),
+        kept.alias("kept_lines"),
     ).select(
         id_col,
         "n_lines",

@@ -43,3 +43,30 @@ def test_neardup_pipeline_partitioning_invariant(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert outs[0] == outs[1]
+
+
+def test_curation_ops_partitioning_invariant(spark):
+    """Repetition stats, boilerplate removal, and decontamination are
+    value-deterministic at any partitioning/shuffle width."""
+    from pysparkdedup.decontam import contamination
+    from pysparkdedup.repetition import (
+        drop_boilerplate_lines, repetition_stats, with_chunk_lines)
+
+    outs = []
+    for nparts, shuffle in ((2, "2"), (13, "17")):
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        try:
+            pages, _ = pages_and_truth(spark, 400, partitions=nparts)
+            d = pages.select(
+                F.col("url").alias("doc_id"), "text")
+            rep = sorted(map(tuple, repetition_stats(d, n=2).collect()))
+            lined = with_chunk_lines(d, 8).select("doc_id", "lines")
+            boil = sorted(
+                (r["doc_id"], r["n_lines"], r["n_dropped"], r["clean_text"])
+                for r in drop_boilerplate_lines(lined, min_df=4).collect())
+            bench = d.filter(F.crc32(F.col("doc_id")) % 37 == 0)
+            con = sorted(map(tuple, contamination(d, bench, k=4).collect()))
+            outs.append((rep, boil, con))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert outs[0] == outs[1]
