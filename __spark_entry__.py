@@ -759,6 +759,21 @@ def _q_decontam_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(d, bench, k=5, min_overlap=1)
 
 
+def _q_cross_corpus_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup (crosscorpus.py): even doc_ids are the OLD
+    corpus (signature table computed once, the checkpoint stand-in), odd
+    doc_ids the NEW batch; every new doc is flagged exact_dup / near_dup /
+    unique with its deterministic old-corpus witness."""
+    from pysparkdedup.checkpoint import compute_signatures
+    from pysparkdedup.crosscorpus import dedup_against
+
+    cfg = DedupConfig()
+    pages = _docs_as_pages(spark, sf_dir)
+    old = pages.filter(F.col("url").cast("long") % 2 == 0)
+    new = pages.filter(F.col("url").cast("long") % 2 == 1)
+    return dedup_against(new, compute_signatures(old, cfg), cfg)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -813,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_docs": _q_repetition_stats_docs,
         "boilerplate_lines_docs": _q_boilerplate_lines_docs,
         "decontam_overlap_docs": _q_decontam_overlap_docs,
+        "cross_corpus_dedup_docs": _q_cross_corpus_dedup_docs,
     }
 
 
@@ -999,6 +1015,87 @@ def _minhash_clusters_oracle_sql() -> str:
         )
         SELECT node AS url, 'cc:' || min(label) AS cluster_key
         FROM walk GROUP BY node
+    """
+
+
+def _cross_corpus_oracle_sql() -> str:
+    """DuckDB replay of crosscorpus.dedup_against over an even/odd doc_id
+    split (old/new). Exact: normalized content hash vs the old corpus's
+    hash -> min(url) map. Near: the shared signature CTEs (bit-exact minhash
+    replay) -> band-slice equality join (== band-hash equality modulo 64-bit
+    xxhash collisions, inert here as in the clusters oracle) -> match-count
+    verify -> best (highest jaccard, then min old url) via row_number. The
+    engine's hot-bucket representative degrade never fires at contract scale
+    (max band bucket is 3 << cap 2000), so the full join IS the engine's
+    plan; jaccard = m/64 terminates in 6 decimal digits, and both engines
+    round half-away-from-zero at 4 decimals."""
+    cfg = DedupConfig()
+    r, b = cfg.lsh_rows, cfg.lsh_bands
+    m = min(k for k in range(cfg.num_perm + 1)
+            if k / cfg.num_perm >= cfg.jaccard_threshold)
+    return f"""
+        WITH {_minhash_sig_ctes()},
+        sigv AS (
+            SELECT url, list(sig ORDER BY pos) AS sig FROM msig GROUP BY url
+        ),
+        docs2 AS (
+            SELECT doc_id::VARCHAR AS url, doc_id % 2 = 0 AS is_old,
+                   sha256(regexp_replace(text, '\\s', '', 'g')) AS ch
+            FROM documents
+        ),
+        old_rep AS (
+            SELECT ch, min(url) AS old_url FROM docs2 WHERE is_old GROUP BY ch
+        ),
+        newdocs AS (SELECT url, ch FROM docs2 WHERE NOT is_old),
+        exact AS (
+            SELECT n.url, r.old_url FROM newdocs n
+            JOIN old_rep r ON r.ch = n.ch
+        ),
+        bands AS (
+            SELECT url, i AS band_id, sig[i*{r}+1 : i*{r}+{r}] AS bslice
+            FROM sigv, unnest(generate_series(0, {b - 1})) AS t(i)
+        ),
+        nb AS (
+            SELECT bd.* FROM bands bd
+            JOIN newdocs n ON n.url = bd.url
+            WHERE bd.url NOT IN (SELECT url FROM exact)
+        ),
+        ob AS (
+            SELECT bd.* FROM bands bd
+            JOIN docs2 d ON d.url = bd.url AND d.is_old
+        ),
+        cand AS (
+            SELECT DISTINCT nb.url, ob.url AS old_url
+            FROM nb JOIN ob
+              ON nb.band_id = ob.band_id AND nb.bslice = ob.bslice
+        ),
+        near AS (
+            SELECT url, old_url, m FROM (
+                SELECT c.url, c.old_url,
+                       len(list_filter(generate_series(1, {cfg.num_perm}),
+                           i -> sa.sig[i] = sb.sig[i])) AS m
+                FROM cand c
+                JOIN sigv sa ON sa.url = c.url
+                JOIN sigv sb ON sb.url = c.old_url
+            ) WHERE m >= {m}
+        ),
+        best AS (
+            SELECT url, old_url, m FROM (
+                SELECT *, row_number() OVER (PARTITION BY url
+                          ORDER BY m DESC, old_url ASC) AS rn
+                FROM near
+            ) WHERE rn = 1
+        )
+        SELECT n.url,
+               CASE WHEN e.old_url IS NOT NULL THEN 'exact_dup'
+                    WHEN bs.old_url IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS status,
+               coalesce(e.old_url, bs.old_url) AS dup_of,
+               CASE WHEN e.old_url IS NOT NULL THEN 1.0
+                    ELSE round(bs.m / {cfg.num_perm}.0, 4) END AS jaccard
+        FROM newdocs n
+        LEFT JOIN exact e ON e.url = n.url
+        LEFT JOIN best bs ON bs.url = n.url
     """
 
 
@@ -1814,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nsh n ON n.doc_id = d.doc_id
             LEFT JOIN ov o ON o.doc_id = d.doc_id
         """,
+        "cross_corpus_dedup_docs": _cross_corpus_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),

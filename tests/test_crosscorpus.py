@@ -1,0 +1,107 @@
+"""Cross-corpus (incremental crawl) dedup: new batch vs old corpus
+signatures, including the checkpoint-as-old-corpus path and the hot-bucket
+representative degrade."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkdedup.checkpoint import compute_signatures
+from pysparkdedup.config import DedupConfig
+from pysparkdedup.crosscorpus import (
+    cross_candidate_pairs,
+    dedup_against,
+    hot_old_bucket_count,
+)
+from pysparkdedup.minhash import lsh_bands, minhash_signatures
+from tests.conftest import ts
+
+
+def long_text(seed: str, n: int = 60) -> str:
+    return " ".join(f"{seed}{i}" for i in range(n))
+
+
+@pytest.fixture()
+def old_new(pages_factory):
+    base = long_text("w")
+    near = base.rsplit(" ", 2)[0] + " zz1 zz2"  # ~0.97 token overlap
+    old = pages_factory([
+        ("old/a", ts(0), base, "en"),
+        ("old/b", ts(1), long_text("x"), "en"),
+        ("old/c", ts(2), base, "en"),          # same hash as old/a
+    ])
+    new = pages_factory([
+        ("new/exact", ts(10), base, "en"),     # exact dup of old/a + old/c
+        ("new/near", ts(11), near, "en"),      # near dup of old/a
+        ("new/fresh", ts(12), long_text("q"), "en"),
+    ])
+    return old, new
+
+
+def test_dedup_against_statuses(old_new):
+    old, new = old_new
+    cfg = DedupConfig()
+    old_sigs = compute_signatures(old, cfg)
+    got = {r["url"]: r.asDict() for r in dedup_against(new, old_sigs, cfg).collect()}
+
+    assert got["new/exact"]["status"] == "exact_dup"
+    assert got["new/exact"]["dup_of"] == "old/a"  # min of {old/a, old/c}
+    assert got["new/exact"]["jaccard"] == 1.0
+
+    assert got["new/near"]["status"] == "near_dup"
+    assert got["new/near"]["dup_of"] == "old/a"
+    assert 0.5 <= got["new/near"]["jaccard"] <= 1.0
+
+    assert got["new/fresh"]["status"] == "unique"
+    assert got["new/fresh"]["dup_of"] is None
+    assert got["new/fresh"]["jaccard"] is None
+
+
+def test_dedup_against_checkpoint_roundtrip(old_new, tmp_path):
+    """The previous crawl's committed checkpoint IS the old corpus."""
+    from pysparkdedup.checkpoint import signatures_with_checkpoint
+
+    old, new = old_new
+    cfg = DedupConfig()
+    old_sigs = signatures_with_checkpoint(old, cfg, str(tmp_path / "ckpt"))
+    got = {r["url"]: r["status"]
+           for r in dedup_against(new, old_sigs, cfg).collect()}
+    assert got == {"new/exact": "exact_dup", "new/near": "near_dup",
+                   "new/fresh": "unique"}
+
+
+def test_hot_bucket_degrades_to_representative(pages_factory):
+    """An old-side bucket past the cap contributes exactly one candidate
+    (its min-url representative) per matching new doc, not one per member."""
+    text = long_text("h")
+    cfg = DedupConfig()
+    old = pages_factory([
+        (f"old/{i:03d}", ts(i), text, "en") for i in range(8)])
+    new = pages_factory([("new/0", ts(99), text, "en")])
+    old_bands = lsh_bands(minhash_signatures(old, cfg), cfg)
+    new_bands = lsh_bands(minhash_signatures(new, cfg), cfg)
+
+    full = cross_candidate_pairs(new_bands, old_bands, cap=2000)
+    assert full.count() == 8  # cold: every member is a candidate
+
+    degraded = cross_candidate_pairs(new_bands, old_bands, cap=4)
+    rows = degraded.collect()
+    assert len(rows) == 1 and rows[0]["old_url"] == "old/000"
+    assert hot_old_bucket_count(old_bands, cap=4) > 0
+
+    # the verdict is unchanged either way: identical text verifies vs the rep
+    old_sigs = compute_signatures(old, cfg)
+    got = {r["url"]: r.asDict()
+           for r in dedup_against(new, old_sigs, cfg, cap=4).collect()}
+    assert got["new/0"]["status"] == "exact_dup"  # identical text is exact
+
+
+def test_precomputed_new_sigs_reused(old_new):
+    old, new = old_new
+    cfg = DedupConfig()
+    old_sigs = compute_signatures(old, cfg)
+    new_sigs = minhash_signatures(new, cfg)
+    got = {r["url"]: r["status"]
+           for r in dedup_against(new, old_sigs, cfg,
+                                  new_sigs=new_sigs).collect()}
+    assert got == {"new/exact": "exact_dup", "new/near": "near_dup",
+                   "new/fresh": "unique"}
