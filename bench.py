@@ -13,6 +13,8 @@ Headline queries exercise the engine's hot paths end to end:
   curation_pass    — repetition stats + boilerplate-line removal +
                      benchmark decontamination (added round 4; earlier
                      rounds' totals cover the first 7 queries only)
+  cross_corpus     — incremental-crawl dedup: new half vs old half's
+                     precomputed signatures (added round 4)
 """
 
 from __future__ import annotations
@@ -109,6 +111,21 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
             F.sum(F.col("contaminated").cast("int"))).collect()
 
     bench("curation_pass", curation)
+
+    # Cross-corpus incremental dedup (added round 4): even-url half is the
+    # "previous crawl" (signatures computed once, outside the timing — the
+    # checkpoint stand-in), odd half is the new batch being flagged.
+    from pysparkdedup.checkpoint import compute_signatures
+    from pysparkdedup.crosscorpus import dedup_against
+
+    old_half = pages.filter(F.crc32("url") % 2 == 0)
+    new_half = pages.filter(F.crc32("url") % 2 == 1)
+    old_sigs = compute_signatures(old_half, cfg)
+    old_sigs.cache().count()
+    bench("cross_corpus",
+          lambda: dedup_against(new_half, old_sigs, cfg)
+          .groupBy("status").count().collect())
+    old_sigs.unpersist()
 
     pages.unpersist()
     return timings

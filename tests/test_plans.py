@@ -139,3 +139,31 @@ def test_ivf_candidate_join_is_equi_join(spark):
     plan = plan_of(ivf_topk(emb, q, k=3, n_list=8, nprobe=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark, pages_factory):
+    """repetition_stats is per-document column algebra — its claim is ZERO
+    shuffles (no Exchange in the plan): scan -> project, nothing else."""
+    from pysparkdedup.repetition import repetition_stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repetition_stats(d, n=2))
+    assert "Exchange" not in plan
+
+
+def test_cross_corpus_no_cartesian(spark, pages_factory):
+    """dedup_against must stay equi-join shaped end to end — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from tests.conftest import ts
+
+    from pysparkdedup.checkpoint import compute_signatures
+    from pysparkdedup.crosscorpus import dedup_against
+
+    cfg = DedupConfig()
+    old = pages_factory([
+        ("old/a", ts(0), " ".join(f"w{i}" for i in range(30)), "en")])
+    new = pages_factory([
+        ("new/a", ts(1), " ".join(f"v{i}" for i in range(30)), "en")])
+    plan = plan_of(dedup_against(new, compute_signatures(old, cfg), cfg))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
