@@ -14,20 +14,17 @@ analog for, but a web-scale corpus pipeline needs alongside dedup:
   (navigation chrome, cookie banners, footers) is boilerplate; drop it from
   every document while preserving the order of what remains.
 
-Both are pure JVM column algebra (no Python UDFs): explode + two-phase
-partial aggregation, keyed per document (no cross-doc skew) for the stats,
-and an AQE-broadcastable frequency join for the line filter.
+Both are pure JVM column algebra (no Python UDFs).
 
 Scale notes (100 TB):
-- ``repetition_stats`` shuffles on (id, gram) then id; both aggregations are
-  map-side partial, and every group is bounded by a single document's length
-  — a mega-document cannot straggle more than its own gram count.
-- ``drop_boilerplate_lines`` aggregates line document-frequency with a
-  distinct-then-count (two shuffles on line hash; partial agg absorbs hot
-  boilerplate lines because count is O(1) state), and the join back to drop
-  them touches only lines ABOVE the threshold — a small frame AQE broadcasts
-  in practice; when it isn't small the join degrades to a shuffle hash join,
-  still correct.
+- ``repetition_stats`` is SHUFFLE-FREE (plan-gated: zero Exchange nodes):
+  per-doc sorted-gram run-length scan via ``aggregate`` — embarrassingly
+  parallel, a mega-document costs only its own gram count within its task.
+- ``drop_boilerplate_lines`` dehydrates: only the (id, line) projection
+  rides the document-frequency aggregation (distinct-then-count; partial
+  agg absorbs hot boilerplate lines because count is O(1) state); the
+  rebuild filters each document's OWN lines array against broadcast-joined
+  per-doc hits, so the corpus text never shuffles.
 """
 
 from __future__ import annotations
