@@ -8,14 +8,19 @@ value-hash). Conventions for engine parity:
 - timestamps are returned as naive 'yyyy-MM-dd HH:mm:ss' strings — tz-proof in
   both engines (the source column is TIMESTAMP_NTZ);
 - ratio outputs are rounded to 4 decimals, set sizes / counts are exact ints;
-- Jaccard outputs return the integer intersection/set sizes rather than the
-  float, eliminating float-hash risk entirely;
+- pairwise-Jaccard outputs return the integer intersection/set sizes rather
+  than the float where a query's semantics allow; where the float IS the
+  user-facing value (cross_corpus_dedup's minhash estimate) it is a dyadic
+  rational (m/64, terminating decimal) rounded identically on both sides;
 - every computed column is aliased identically on both sides.
 
-Non-SQL-expressible operators (MinHash/SimHash signatures, union-find cluster
-ids, suffix containment, winnowing, sign-LSH ANN) have queries() entries with
-no oracle — the driver records the weaker rows-only check; their exact
-semantics are pytest-verified instead (tests/).
+Every queries() entry has a DuckDB oracle except guards_eviction_docs (the
+greedy eviction's difflib content metric is not SQL-expressible; the driver
+records the weaker rows-only check there, and the loop's integer half is
+oracled separately via guards_eviction_size_only). The kernel-defined
+operators (MinHash/SimHash signatures, union-find clusters, winnowing,
+sign-LSH/IVF ANN, cross-corpus dedup) are replayed bit-exactly in DuckDB
+HUGEINT arithmetic — see the _*_oracle_sql builders below.
 """
 
 from __future__ import annotations
