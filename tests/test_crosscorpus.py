@@ -105,3 +105,35 @@ def test_precomputed_new_sigs_reused(old_new):
                                   new_sigs=new_sigs).collect()}
     assert got == {"new/exact": "exact_dup", "new/near": "near_dup",
                    "new/fresh": "unique"}
+
+
+@pytest.mark.slow
+def test_cross_corpus_recall_on_corpus(spark):
+    """A new doc sharing a claimed-kind true cluster with >= 1 old doc must
+    be flagged (exact_dup or near_dup) — the cross-corpus analog of the
+    BASELINE.md dup-pair recall >= 0.99 gate, on the planted corpus."""
+    from pysparkdedup.corpus import pages_and_truth
+
+    pages, truth = pages_and_truth(spark, 2000)
+    cfg = DedupConfig()
+    is_old = F.crc32("url") % 2 == 0
+    old, new = pages.filter(is_old), pages.filter(~is_old)
+
+    flagged = dedup_against(new, compute_signatures(old, cfg), cfg)
+
+    claimed = truth.filter(F.col("dup_kind").isin(
+        "exact", "whitespace", "time_ladder", "undated", "same_ts",
+        "boilerplate", "near_j095", "near_j09"))
+    old_clusters = claimed.filter(is_old).select("true_cluster").distinct()
+    should_flag = (
+        claimed.filter(~is_old)
+        .join(old_clusters, "true_cluster", "left_semi")
+        .select("url")
+    )
+    total = should_flag.count()
+    hit = should_flag.join(
+        flagged.filter(F.col("status") != "unique").select("url"),
+        "url", "inner").count()
+    assert total > 0
+    recall = hit / total
+    assert recall >= 0.99, f"cross recall {recall:.4f} ({hit}/{total})"
