@@ -124,3 +124,42 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     benchmark = docs(spark, [(999, "w5 w6 w7")])
     plan = plan_of(contamination(corpus, benchmark, k=3))
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_matches_python_reference_randomized(spark):
+    """The run-length F.aggregate kernel vs a direct Counter-based reference
+    over 200 random small-alphabet docs (repeats guaranteed), one Spark job.
+    Covers empty docs, all-same-token docs, and tie-break cases by volume."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1234)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = []
+    for i in range(200):
+        n_tok = rng.choice([0, 1, 2, 3, 5, 8, 13, 30])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+
+    def ref(text, n=2):
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return (0, 0, 0.0, 0.0)
+        c = Counter(grams)
+        total = sum(cnt * len(g) for g, cnt in c.items())
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        top = max(c.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+        return (len(grams), len(c),
+                round(top[1] * len(top[0]) / total, 4),
+                round(dup / total, 4))
+
+    got = {r["doc_id"]: (r["n_grams"], r["distinct_grams"],
+                         r["top_gram_frac"], r["dup_gram_frac"])
+           for r in repetition_stats(docs(spark, rows), n=2).collect()}
+    for i, (_, text) in enumerate(rows):
+        eng, exp = got[i], ref(text)
+        assert eng[:2] == exp[:2], f"doc {i}: {text!r}"
+        # floats within 1e-4ish: Python round() is banker's, Spark's is
+        # HALF_UP — a .xxxx5 tie may legitimately differ in the 4th decimal
+        assert eng[2] == pytest.approx(exp[2], abs=6e-5), f"doc {i}: {text!r}"
+        assert eng[3] == pytest.approx(exp[3], abs=6e-5), f"doc {i}: {text!r}"
