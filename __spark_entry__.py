@@ -779,6 +779,52 @@ def _q_cross_corpus_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new, compute_signatures(old, cfg), cfg)
 
 
+def _with_synth_pii(d: DataFrame) -> DataFrame:
+    """Deterministic synthetic PII planted from doc_id (the corpus has no
+    real PII): every doc gets an email, every 3rd an IPv4, every 5th a
+    phone, every 7th a card number. Built from doc_id arithmetic only so
+    the oracle rebuilds the byte-identical string in SQL. Segments are
+    separated by non-pattern characters (spaces, 'tel'/'card:' labels) so
+    the greedy phone class cannot swallow a neighboring segment."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.org"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" ip 10."), (did % 200).cast("string"),
+            F.lit("."), ((did * 3) % 200).cast("string"),
+            F.lit("."), (did % 250).cast("string"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" tel +1 415 555"),
+            (did % 10000).cast("string"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.lit(" card: 4242 4242 4242 4242")).otherwise(F.lit("")),
+    )
+    return d.withColumn("text", aug)
+
+
+def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pii.py): per-kind regexp counts + typed-placeholder
+    redaction over documents with deterministically planted PII. Fully
+    oracle-checked — the patterns live in the Java/RE2-shared regex subset
+    (no lookaround/backreferences, gated by a pytest), so DuckDB replays
+    counts AND the redacted bytes exactly."""
+    from pysparkdedup.pii import redact_pii, with_pii_counts
+
+    d = _with_synth_pii(_docs(spark, sf_dir)).select("doc_id", "text")
+    return redact_pii(with_pii_counts(d)).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_card", "n_pii",
+        "text_redacted")
+
+
+def _q_pii_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit (pii.pii_summary): 1-row map-side-combined
+    reduce (doc count, docs with any PII, per-kind totals)."""
+    from pysparkdedup.pii import pii_summary
+
+    return pii_summary(_with_synth_pii(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -834,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines_docs": _q_boilerplate_lines_docs,
         "decontam_overlap_docs": _q_decontam_overlap_docs,
         "cross_corpus_dedup_docs": _q_cross_corpus_dedup_docs,
+        "pii_redact_docs": _q_pii_redact_docs,
+        "pii_summary_docs": _q_pii_summary_docs,
     }
 
 
@@ -1481,6 +1529,67 @@ def _guards_eviction_size_only_oracle_sql() -> str:
     """
 
 
+def _pii_aug_sql() -> str:
+    """DuckDB replay of _with_synth_pii's planted-PII string, byte-exact."""
+    return (
+        "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.org'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.'"
+        " || CAST(doc_id % 200 AS VARCHAR) || '.'"
+        " || CAST((doc_id * 3) % 200 AS VARCHAR) || '.'"
+        " || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' tel +1 415 555'"
+        " || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' card: 4242 4242 4242 4242'"
+        " ELSE '' END"
+    )
+
+
+def _pii_redact_oracle_sql() -> str:
+    """Counts via regexp_extract_all, redaction via nested regexp_replace
+    in PII_PATTERNS order (the order pii.redact_pii applies). Valid because
+    the patterns stay inside the Java/RE2-shared subset (test_pii gate)."""
+    from pysparkdedup.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INT AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items())
+    red = "t"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    return f"""
+        WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents),
+        c AS (SELECT doc_id,
+                   {counts},
+                   {red} AS text_redacted
+              FROM aug)
+        SELECT doc_id, n_email, n_ipv4, n_phone, n_card,
+               ({total})::INT AS n_pii, text_redacted
+        FROM c
+    """
+
+
+def _pii_summary_oracle_sql() -> str:
+    from pysparkdedup.pii import PII_PATTERNS
+
+    per_doc = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items())
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    totals = ", ".join(
+        f"sum(n_{k})::BIGINT AS total_{k}" for k in PII_PATTERNS)
+    return f"""
+        WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents),
+        c AS (SELECT doc_id, {per_doc} FROM aug)
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN {total} > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS docs_with_pii,
+               {totals}
+        FROM c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from pysparkdedup.textstats import STOPWORDS
 
@@ -1917,6 +2026,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ov o ON o.doc_id = d.doc_id
         """,
         "cross_corpus_dedup_docs": _cross_corpus_oracle_sql(),
+        "pii_redact_docs": _pii_redact_oracle_sql(),
+        "pii_summary_docs": _pii_summary_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
