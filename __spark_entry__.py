@@ -752,6 +752,25 @@ def _q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style corpus-wide paragraph dedup, keep-FIRST semantics
+    (repetition.dedup_lines_keep_first): a line seen anywhere earlier —
+    minimal (doc_id, pos) — is removed from every later position, including
+    intra-doc repeats. Same 10-token pseudo-line unit as the boilerplate
+    query; oracle replays the winner pick as row_number over
+    (doc_id, pos)."""
+    from pysparkdedup.repetition import (
+        dedup_lines_keep_first, with_chunk_lines)
+
+    d = with_chunk_lines(_docs(spark, sf_dir), 10).select("doc_id", "lines")
+    out = dedup_lines_keep_first(d)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "clean_text")
+
+
 def _q_decontam_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (decontam.py): the eval set is the
     deterministic doc_id % 97 == 0 slice of the corpus itself, so overlap
@@ -878,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guards_eviction_docs": _q_guards_eviction_docs,
         "repetition_stats_docs": _q_repetition_stats_docs,
         "boilerplate_lines_docs": _q_boilerplate_lines_docs,
+        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "decontam_overlap_docs": _q_decontam_overlap_docs,
         "cross_corpus_dedup_docs": _q_cross_corpus_dedup_docs,
         "pii_redact_docs": _q_pii_redact_docs,
@@ -1979,6 +1999,42 @@ def oracle_sql() -> dict[str, str]:
             ), kept AS (
                 SELECT c.* FROM chunks c
                 LEFT JOIN boiler b ON b.line = c.line WHERE b.line IS NULL
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            ), nl AS (
+                SELECT doc_id, count(*) AS n_lines FROM chunks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nl.n_lines, 0)::BIGINT AS n_lines,
+                   (coalesce(nl.n_lines, 0) - coalesce(a.n_kept, 0))::BIGINT
+                       AS n_dropped,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN nl ON nl.doc_id = d.doc_id
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "paragraph_dedup_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '\s+'), t -> t != '') AS ts
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, c AS pos,
+                       array_to_string(ts[(c*10+1):(c*10+10)], ' ') AS line
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(0,
+                                 cast(ceil(len(ts) / 10.0) AS INT) - 1)) AS c
+                      FROM toks)
+            ), ranked AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM chunks
+            ), kept AS (
+                SELECT doc_id, pos, line FROM ranked WHERE rn = 1
             ), agg AS (
                 SELECT doc_id, count(*) AS n_kept,
                        string_agg(line, chr(10) ORDER BY pos) AS clean_text

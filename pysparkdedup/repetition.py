@@ -281,3 +281,82 @@ def drop_boilerplate_lines(
         F.concat_ws("\n", "kept_lines").alias("clean_text"),
         (F.col("n_lines") - F.size("kept_lines")).alias("n_dropped"),
     )
+
+
+def dedup_lines_keep_first(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide line/paragraph dedup, keep-FIRST semantics (the Dolma
+    paragraph-dedup family: a paragraph seen before anywhere in the corpus
+    is removed; its first occurrence survives). Distinct from
+    ``drop_boilerplate_lines``, which removes EVERY copy of a frequent line.
+
+    "First" is fully deterministic: the minimal (id, position) under
+    lexicographic struct order — the same occurrence regardless of
+    partitioning or parallelism. Output mirrors drop_boilerplate_lines:
+    ``n_lines`` / ``n_dropped`` / ``kept_lines`` (original order) /
+    ``clean_text``.
+
+    Scale notes (100 TB): only the dehydrated (id, pos, line) projection
+    rides any shuffle — the winner-per-line aggregation carries O(1) state
+    (min-struct, count), so a paragraph duplicated across 10^10 documents is
+    absorbed by map-side partial aggregation; the winner dim keeps only
+    lines with >= 2 occurrences (unique lines can never be dropped), and the
+    occurrence->winner equi-join is left to AQE (broadcast when the dup dim
+    is small, skew-split when one line dominates). The rebuild drops by
+    POSITION (an int array bounded by each document's own line count), so
+    document text never shuffles and intra-doc repeats of the winning line
+    are removed precisely."""
+    from pyspark import StorageLevel
+
+    from .cache import track
+
+    light = track(
+        df.select(F.col(id_col),
+                  F.posexplode(lines_col).alias("pos", "line"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # One winner per duplicated line: minimal (id, pos) occurrence.
+    winners = (
+        light.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(F.struct(F.col(id_col).alias("id"),
+                            F.col("pos").alias("pos"))).alias("first"))
+        .filter(F.col("n") >= 2)
+        .select("line", "first")
+    )
+
+    drops = (
+        light.join(winners, "line", "inner")
+        .filter(~((F.col(id_col) == F.col("first.id"))
+                  & (F.col("pos") == F.col("first.pos"))))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_drop"))
+    )
+
+    joined = df.select(
+        F.col(id_col),
+        F.greatest(F.size(lines_col), F.lit(0)).alias("n_lines"),
+        F.coalesce(
+            F.col(lines_col), F.array().cast("array<string>")
+        ).alias("_lines"),
+    ).join(drops, id_col, "left")
+
+    kept = F.when(
+        F.col("_drop").isNull(), F.col("_lines")
+    ).otherwise(
+        F.filter(F.col("_lines"),
+                 lambda _ln, i: ~F.array_contains(F.col("_drop"), i)))
+    return joined.select(
+        id_col,
+        "n_lines",
+        kept.alias("kept_lines"),
+    ).select(
+        id_col,
+        "n_lines",
+        "kept_lines",
+        F.concat_ws("\n", "kept_lines").alias("clean_text"),
+        (F.col("n_lines") - F.size("kept_lines")).alias("n_dropped"),
+    )

@@ -163,3 +163,56 @@ def test_repetition_stats_matches_python_reference_randomized(spark):
         # HALF_UP — a .xxxx5 tie may legitimately differ in the 4th decimal
         assert eng[2] == pytest.approx(exp[2], abs=6e-5), f"doc {i}: {text!r}"
         assert eng[3] == pytest.approx(exp[3], abs=6e-5), f"doc {i}: {text!r}"
+
+
+def lines_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lines array<string>")
+
+
+def test_keep_first_cross_doc(spark):
+    from pysparkdedup.repetition import dedup_lines_keep_first
+    d = lines_df(spark, [
+        (1, ["A", "u1", "B"]),
+        (2, ["u2", "A", "B", "u3"]),   # A and B both seen first in doc 1
+        (3, ["B"]),                    # fully deduped away
+    ])
+    got = by_id(dedup_lines_keep_first(d))
+    assert got[1]["kept_lines"] == ["A", "u1", "B"]   # first copies survive
+    assert got[2]["kept_lines"] == ["u2", "u3"]
+    assert got[2]["n_dropped"] == 2
+    assert got[3]["kept_lines"] == [] and got[3]["clean_text"] == ""
+    assert got[2]["clean_text"] == "u2\nu3"
+
+
+def test_keep_first_intra_doc_repeat(spark):
+    from pysparkdedup.repetition import dedup_lines_keep_first
+    d = lines_df(spark, [(1, ["A", "x", "A", "A"])])
+    got = by_id(dedup_lines_keep_first(d))
+    assert got[1]["kept_lines"] == ["A", "x"]   # only pos 0's copy survives
+    assert got[1]["n_dropped"] == 2
+
+
+def test_keep_first_winner_is_min_id_pos(spark):
+    from pysparkdedup.repetition import dedup_lines_keep_first
+    # the winner is the minimal (doc_id, pos) occurrence, not arbitrary
+    d = lines_df(spark, [
+        (5, ["z", "A"]),
+        (2, ["y", "A"]),   # doc 2 < doc 5 -> doc 2's copy survives
+    ])
+    got = by_id(dedup_lines_keep_first(d))
+    assert got[2]["kept_lines"] == ["y", "A"]
+    assert got[5]["kept_lines"] == ["z"]
+
+
+def test_keep_first_unique_and_empty_rows(spark):
+    from pysparkdedup.repetition import dedup_lines_keep_first
+    d = lines_df(spark, [
+        (1, ["only", "unique", "lines"]),
+        (2, []),
+        (3, None),
+    ])
+    got = by_id(dedup_lines_keep_first(d))
+    assert got[1]["kept_lines"] == ["only", "unique", "lines"]
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["kept_lines"] == [] and got[2]["n_lines"] == 0
+    assert got[3]["kept_lines"] == [] and got[3]["n_lines"] == 0
