@@ -231,6 +231,13 @@ def drop_boilerplate_lines(
     a frame bounded by (docs containing boilerplate) x (few lines each),
     which AQE broadcasts in the common regime; the fallback is a shuffle
     join keyed on id that still moves only the hit lines, not the corpus.
+
+    The boilerplate dim itself is deliberately NOT hint-broadcast: unlike
+    the engine's capped hot-key dims (pairs/ngram/suffix), every distinct
+    line with df >= min_df qualifies, which at web scale is an unbounded
+    set (every footer variant in the crawl). AQE decides at runtime from
+    the aggregated size — broadcast when it fits, shuffle join (count-only
+    state, partial-agg absorbed) when it does not.
     """
     del keep_order  # order is always preserved by the array filter
     from pyspark import StorageLevel
@@ -252,7 +259,7 @@ def drop_boilerplate_lines(
     )
 
     bad_per_doc = (
-        light.join(F.broadcast(boiler), "line", "inner")
+        light.join(boiler, "line", "inner")
         .groupBy(id_col)
         .agg(F.collect_set("line").alias("_bad"))
     )
