@@ -45,9 +45,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref --input-format / autodetect_box_type, "
                         "mail_box.py:353-397)")
     p.add_argument("--mode", default="exact",
-                   choices=["exact", "minhash", "simhash", "hash-only"],
-                   help="grouping mode (hash-only prints signatures and exits, "
-                        "ref cli.py:656-674)")
+                   choices=["exact", "minhash", "simhash", "hash-only",
+                            "curate"],
+                   help="grouping mode (hash-only prints signatures and "
+                        "exits, ref cli.py:656-674; curate runs the "
+                        "training-data filter pass and writes --output)")
+    p.add_argument("--max-dup-gram-frac", type=float, default=None,
+                   help="curate: drop docs whose duplicate-2-gram char "
+                        "fraction exceeds this (Gopher-style)")
+    p.add_argument("--boilerplate-min-df", type=int, default=0,
+                   help="curate: remove lines occurring in >= N distinct "
+                        "docs (CCNet-style; 0 = off)")
+    p.add_argument("--dedup-paragraphs", action="store_true",
+                   help="curate: corpus-wide keep-first line dedup "
+                        "(Dolma-style)")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="curate: scrub emails/IPs/phones/cards with typed "
+                        "placeholders")
     p.add_argument("--strategy", action="append", default=[],
                    choices=sorted(ALL_STRATEGY_IDS),
                    help="selection strategy; repeat for a cascade")
@@ -183,6 +197,27 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import read_pages
 
         pages = read_pages(spark, args.input, fmt=args.input_format)
+
+        if args.mode == "curate":
+            if not args.output:
+                parser.error("--mode curate requires --output")
+            from .curate import curate_pages
+
+            cur = curate_pages(
+                pages,
+                max_dup_gram_frac=args.max_dup_gram_frac,
+                boilerplate_min_df=args.boilerplate_min_df,
+                dedup_paragraphs=args.dedup_paragraphs,
+                redact=args.redact_pii,
+            )
+            cur.write.mode("overwrite").parquet(args.output)
+            # DOCS_OUT from the written footers (metadata-scale, no
+            # recompute of the curation plan)
+            print(json.dumps({
+                "DOCS_IN": pages.count(),
+                "DOCS_OUT": spark.read.parquet(args.output).count(),
+            }, indent=2))
+            return 0
 
         if args.mode == "hash-only":
             from .checkpoint import compute_signatures

@@ -1,0 +1,117 @@
+"""curate.curate_pages — stage semantics, composition, schema preservation,
+and the CLI curate mode end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pysparkdedup.curate import curate_pages
+from tests.conftest import ts
+
+BOILER = "cookie banner accept all tracking policy terms privacy contact us"
+
+
+def tail(word: str) -> str:
+    return " ".join(f"{word}{i}" for i in range(10))
+
+
+def by_url(df):
+    return {r["url"]: r.asDict() for r in df.collect()}
+
+
+def test_no_stages_is_identity(spark, pages_factory):
+    pages = pages_factory([
+        ("u/a", ts(0), "Some Mixed CASE text", "en"),
+        ("u/b", ts(1), None, "en"),
+    ])
+    out = curate_pages(pages)
+    assert out.columns == pages.columns
+    assert sorted(out.collect()) == sorted(pages.collect())
+
+
+def test_repetition_filter_drops_spam(spark, pages_factory):
+    pages = pages_factory([
+        ("u/spam", ts(0), "buy now " * 40, "en"),   # dup_gram_frac ~ 1
+        ("u/ok", ts(1), tail("w"), "en"),
+    ])
+    got = by_url(curate_pages(pages, max_dup_gram_frac=0.5))
+    assert set(got) == {"u/ok"}
+    assert got["u/ok"]["text"] == tail("w")   # text untouched (no line ops)
+
+
+def test_boilerplate_removed_from_every_doc(spark, pages_factory):
+    rows = [(f"u/{i}", ts(i), f"{BOILER} {tail(chr(97 + i))}", "en")
+            for i in range(3)]
+    pages = pages_factory(rows)
+    got = by_url(curate_pages(pages, boilerplate_min_df=3))
+    for i in range(3):
+        assert got[f"u/{i}"]["text"] == tail(chr(97 + i))  # tail survives
+        assert BOILER not in got[f"u/{i}"]["text"]
+
+
+def test_paragraph_dedup_keeps_first_only(spark, pages_factory):
+    shared = tail("dup")
+    pages = pages_factory([
+        ("u/1", ts(0), f"{shared} {tail('a')}", "en"),
+        ("u/2", ts(1), f"{shared} {tail('b')}", "en"),   # loses its copy
+    ])
+    got = by_url(curate_pages(pages, dedup_paragraphs=True))
+    assert got["u/1"]["text"] == f"{shared}\n{tail('a')}"
+    assert got["u/2"]["text"] == tail("b")
+
+
+def test_redaction_in_place(spark, pages_factory):
+    pages = pages_factory([
+        ("u/a", ts(0), "mail me at jane@example.com please", "en"),
+    ])
+    got = by_url(curate_pages(pages, redact=True))
+    assert got["u/a"]["text"] == "mail me at <EMAIL> please"
+    assert got["u/a"]["lang"] == "en"   # other columns ride through
+
+
+def test_composed_stages(spark, pages_factory):
+    shared = tail("dup")
+    rows = [(f"u/b{i}", ts(i), f"{BOILER} {tail(chr(97 + i))}", "en")
+            for i in range(3)]
+    rows += [
+        ("u/spam", ts(10), "buy now " * 40, "en"),
+        ("u/d1", ts(11), f"{shared} {tail('x')}", "en"),
+        ("u/d2", ts(12), f"{shared} mail jane@example.com now a b c d e f g",
+         "en"),
+    ]
+    got = by_url(curate_pages(
+        pages_factory(rows), max_dup_gram_frac=0.5, boilerplate_min_df=3,
+        dedup_paragraphs=True, redact=True))
+    assert "u/spam" not in got
+    for i in range(3):
+        assert BOILER not in got[f"u/b{i}"]["text"]
+    assert got["u/d1"]["text"].startswith(shared)
+    assert not got["u/d2"]["text"].startswith(shared)
+    assert "<EMAIL>" in got["u/d2"]["text"]
+
+
+@pytest.mark.slow
+def test_cli_curate_end_to_end(spark, pages_factory, tmp_path, capsys):
+    from pysparkdedup.cli import main
+
+    shared = tail("dup")
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    pages_factory([
+        ("u/1", ts(0), f"{shared} {tail('a')}", "en"),
+        ("u/2", ts(1), f"{shared} mail jane@example.com now", "en"),
+        ("u/spam", ts(2), "buy now " * 40, "en"),
+    ]).write.parquet(inp)
+    rc = main([
+        "--input", inp, "--mode", "curate", "--output", out,
+        "--max-dup-gram-frac", "0.5", "--dedup-paragraphs", "--redact-pii",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats == {"DOCS_IN": 3, "DOCS_OUT": 2}
+    got = by_url(spark.read.parquet(out))
+    assert got["u/1"]["text"].startswith(shared)
+    assert "<EMAIL>" in got["u/2"]["text"]
+    assert not got["u/2"]["text"].startswith(shared)
