@@ -752,6 +752,15 @@ def _q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (textstats.vocab_topk): 200 most frequent
+    tokens with deterministic (count DESC, token ASC) rank. Plan-gated to
+    TakeOrderedAndProject (heap top-k, no global sort)."""
+    from pysparkdedup.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=200)
+
+
 def _q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-wide paragraph dedup, keep-FIRST semantics
     (repetition.dedup_lines_keep_first): a line seen anywhere earlier —
@@ -898,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_docs": _q_repetition_stats_docs,
         "boilerplate_lines_docs": _q_boilerplate_lines_docs,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
+        "vocab_topk_docs": _q_vocab_topk_docs,
         "decontam_overlap_docs": _q_decontam_overlap_docs,
         "cross_corpus_dedup_docs": _q_cross_corpus_dedup_docs,
         "pii_redact_docs": _q_pii_redact_docs,
@@ -2014,6 +2024,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN nl ON nl.doc_id = d.doc_id
             LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "vocab_topk_docs": r"""
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '\s+'), t -> t != '') AS ts
+                FROM documents
+            ), tok AS (
+                SELECT unnest(ts) AS token FROM toks
+            ), c AS (
+                SELECT token, count(*) AS n FROM tok GROUP BY token
+            )
+            SELECT token, n::BIGINT AS n,
+                   row_number() OVER (ORDER BY n DESC, token ASC)::INT AS rank
+            FROM c ORDER BY n DESC, token ASC LIMIT 200
         """,
         "paragraph_dedup_docs": r"""
             WITH toks AS (

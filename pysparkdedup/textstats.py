@@ -16,7 +16,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -161,3 +161,43 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
             yield pd.DataFrame({"url": pdf["url"], "fingerprints": fps})
 
     return df.select("url", text_col).mapInPandas(compute, schema=_WINNOW_SCHEMA)
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token vocabulary: the k most frequent whitespace tokens
+    (lowercased, same tokenizer as token_count) with their total counts and
+    frequency rank. The BPE-training / stopword-derivation precursor.
+
+    Rank is fully deterministic: (count DESC, token ASC) — ties break
+    lexicographically, so the result is stable across partitioning.
+
+    Scale notes (100 TB): the token count is a single partial-aggregated
+    groupBy (O(1) state per token, map-side combine absorbs Zipf-head
+    tokens); the top-k is ``orderBy(...).limit(k)``, which Spark executes
+    as TakeOrderedAndProject — each task keeps a k-sized heap, only
+    k-per-partition rows reach the driver-side merge, no global sort. The
+    rank window is unpartitioned BY CONSTRUCTION on the post-limit frame:
+    it sorts k rows, never data-scale input (the WindowExec single-
+    partition warning refers to a k-row frame here).
+    """
+    counts = (
+        df.select(F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+"),
+                lambda t: t != "",
+            )).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -65,3 +65,30 @@ def test_winnowing_fingerprints_stable_and_shared(pages_factory):
     assert set(rows["u/a"]) != set(rows["u/c"])
     # identical texts share all fingerprints; overlapping-suffix docs share some
     assert len(rows["u/a"]) > 0
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    from pysparkdedup.textstats import vocab_topk
+    d = spark.createDataFrame(
+        [(1, "b a b C c"), (2, "a B z"), (3, None)],
+        "doc_id long, text string")
+    rows = vocab_topk(d, k=3).collect()
+    # counts: a=2 b=3 c=2 z=1; top-3 by (n desc, token asc) = b, a, c
+    assert [(r["token"], r["n"], r["rank"]) for r in rows] == [
+        ("b", 3, 1), ("a", 2, 2), ("c", 2, 3)]
+
+
+def test_vocab_topk_min_count(spark):
+    from pysparkdedup.textstats import vocab_topk
+    d = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    rows = vocab_topk(d, k=10, min_count=2).collect()
+    assert [(r["token"], r["n"]) for r in rows] == [("x", 2)]
+
+
+def test_vocab_topk_plan_is_take_ordered(spark):
+    from pysparkdedup.textstats import vocab_topk
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    df = vocab_topk(d, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan   # heap top-k, not a global sort
