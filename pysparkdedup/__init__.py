@@ -14,8 +14,25 @@ A from-scratch re-expression of the query/data-processing capabilities of
                        (ref deduplicate.py:270-359)
 - stats              : the reference's Stat metrics + invariant checks
                        (ref deduplicate.py:66-134, 1319-1398)
-- checkpoint/resume  : fingerprinted signature checkpoint + anti-join resume
-                       (ref cache.py)
+- checkpoint/resume  : fingerprinted signature checkpoint + anti-join resume,
+                       per-partition lineage + reuse metrics (ref cache.py)
+
+Plus the training-data curation stack a 100-TB corpus pipeline needs around
+dedup (all first-class, DuckDB-oracled via the driver contract):
+
+- similarity search  : exact / sign-LSH / IVF ANN over embeddings (`similarity`)
+- text analysis      : token/quality/language stats, winnowing fingerprints,
+                       corpus vocabulary top-k (`textstats`)
+- repetition filters : Gopher-style intra-doc signals, CCNet-style boilerplate
+                       removal, Dolma-style keep-first paragraph dedup
+                       (`repetition`)
+- decontamination    : benchmark k-shingle overlap (`decontam`)
+- PII scrubbing      : regex detect/redact/audit, Java+RE2-portable (`pii`)
+- incremental crawls : new-vs-old corpus dedup off a signature checkpoint
+                       (`crosscorpus`)
+- multimodal columns : binary payload dedup + header parse + gated pixel
+                       kernels (`multimodal`)
+- one-call pipeline  : `curate.curate_pages` / CLI `--mode curate`
 
 Everything is DataFrame-first: built-in ``pyspark.sql.functions`` expressions in
 the hot path, Arrow-vectorized pandas UDFs only where semantics genuinely need
