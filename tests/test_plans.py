@@ -167,3 +167,32 @@ def test_cross_corpus_no_cartesian(spark, pages_factory):
     plan = plan_of(dedup_against(new, compute_signatures(old, cfg), cfg))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_first_dedup_dehydrates_lines(spark):
+    """dedup_lines_keep_first: only the (id, pos, line) projection may ride
+    a shuffle — the caller's other columns (the wide payload in production)
+    must not appear in any Exchange block."""
+    from pysparkdedup.repetition import dedup_lines_keep_first
+
+    d = spark.createDataFrame(
+        [(1, ["a", "b"], "WIDE_PAYLOAD"), (2, ["b", "c"], "WIDE_PAYLOAD")],
+        "doc_id long, lines array<string>, payload string")
+    out = dedup_lines_keep_first(d.select("doc_id", "lines"))
+    plan = plan_of(out)
+    blocks = plan.split("\n\n")
+    exchange_blocks = [b for b in blocks
+                       if b.startswith("(") and "Exchange" in b.splitlines()[0]]
+    assert exchange_blocks  # the winner agg does shuffle the projection
+    for b in exchange_blocks:
+        assert "payload" not in b, b
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """vocab_topk's top-k must plan as TakeOrderedAndProject (per-task
+    k-heaps), never a full Sort of the token counts."""
+    from pysparkdedup.textstats import vocab_topk
+
+    d = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    plan = plan_of(vocab_topk(d, k=5))
+    assert "TakeOrderedAndProject" in plan
