@@ -761,6 +761,22 @@ def _q_vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir), k=200)
 
 
+def _q_gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (textstats.gopher_rules): per-rule
+    booleans + conjunction, thresholds compared on unrounded values so the
+    SQL replay is exact. min_tokens lowered to 20 so the synthetic corpus
+    (short docs exist) splits on the rule rather than failing uniformly,
+    and the stopword rule uses the corpus's own English marker set at
+    min_hits=1 (the paper's required stopwords never occur in the
+    synthetic vocabulary, and non-"the" en markers appear at most one per
+    doc — the defaults would make the rule constant-false, a degenerate
+    signal; this way it splits by document language)."""
+    from pysparkdedup.textstats import STOPWORDS, gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_tokens=20,
+                        stopwords=STOPWORDS["en"], min_stopword_hits=1)
+
+
 def _q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-wide paragraph dedup, keep-FIRST semantics
     (repetition.dedup_lines_keep_first): a line seen anywhere earlier —
@@ -908,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines_docs": _q_boilerplate_lines_docs,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "vocab_topk_docs": _q_vocab_topk_docs,
+        "gopher_rules_docs": _q_gopher_rules_docs,
         "decontam_overlap_docs": _q_decontam_overlap_docs,
         "cross_corpus_dedup_docs": _q_cross_corpus_dedup_docs,
         "pii_redact_docs": _q_pii_redact_docs,
@@ -1559,6 +1576,58 @@ def _guards_eviction_size_only_oracle_sql() -> str:
     """
 
 
+def _gopher_rules_oracle_sql() -> str:
+    """DuckDB replay of textstats.gopher_rules(min_tokens=20,
+    stopwords=STOPWORDS['en']): all rule algebra on unrounded values; the
+    stopword list embedded from the module (single source of truth)."""
+    from pysparkdedup.textstats import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, coalesce(text, '') AS tx,
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                               '\s+'), x -> x != '') AS ts,
+                   regexp_split_to_array(coalesce(text, ''), '\n') AS ls
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(ts) AS n,
+                   greatest(len(ts), 1)::DOUBLE AS sn,
+                   coalesce(list_aggregate(
+                       list_transform(ts, x -> length(x)), 'sum'), 0) AS sumlen,
+                   len(regexp_extract_all(tx, '#'))
+                     + len(regexp_extract_all(tx, '\.\.\.'))
+                     + len(regexp_extract_all(tx, '…')) AS sym,
+                   greatest(len(ls), 1)::DOUBLE AS nl,
+                   len(list_filter(ls,
+                       l -> regexp_matches(l, '^\s*[-*•‣]'))) AS nbul,
+                   len(list_filter(ls,
+                       l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS nell,
+                   len(list_filter(ts,
+                       x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+                   len(list_intersect(list_distinct(ts), [{stops}])) AS nstop
+            FROM t
+        )
+        SELECT doc_id, n::INT AS n_tokens,
+               round(sumlen / sn, 4) AS mean_word_len,
+               (n >= 20 AND n <= 100000) AS ok_token_count,
+               (sumlen / sn >= 3.0 AND sumlen / sn <= 10.0)
+                   AS ok_mean_word_len,
+               (sym / sn <= 0.1) AS ok_symbol_ratio,
+               (nbul / nl <= 0.9) AS ok_bullets,
+               (nell / nl <= 0.3) AS ok_ellipsis,
+               (nalpha / sn >= 0.8) AS ok_alpha_words,
+               (nstop >= 1) AS ok_stopwords,
+               ((n >= 20 AND n <= 100000)
+                AND (sumlen / sn >= 3.0 AND sumlen / sn <= 10.0)
+                AND (sym / sn <= 0.1) AND (nbul / nl <= 0.9)
+                AND (nell / nl <= 0.3) AND (nalpha / sn >= 0.8)
+                AND (nstop >= 1)) AS gopher_pass
+        FROM m
+    """
+
+
 def _pii_aug_sql() -> str:
     """DuckDB replay of _with_synth_pii's planted-PII string, byte-exact."""
     return (
@@ -2108,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_dedup_docs": _cross_corpus_oracle_sql(),
         "pii_redact_docs": _pii_redact_oracle_sql(),
         "pii_summary_docs": _pii_summary_oracle_sql(),
+        "gopher_rules_docs": _gopher_rules_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),

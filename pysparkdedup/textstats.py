@@ -201,3 +201,89 @@ def vocab_topk(
         counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+# The paper's required-stopword set (Rae et al. 2021, appendix A1.1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A1.1
+    — public literature), one boolean per rule plus the conjunction:
+
+    - ``ok_token_count``   : token count within [min_tokens, max_tokens];
+    - ``ok_mean_word_len`` : mean characters per word within [3, 10];
+    - ``ok_symbol_ratio``  : ('#' + ellipsis) per word <= 0.1;
+    - ``ok_bullets``       : <= 90% of lines start with a bullet;
+    - ``ok_ellipsis``      : <= 30% of lines end with an ellipsis;
+    - ``ok_alpha_words``   : >= 80% of words contain a letter;
+    - ``ok_stopwords``     : >= 2 distinct required stopwords present
+      (the paper's English set by default; pass ``stopwords`` for other
+      languages/corpora);
+    - ``gopher_pass``      : all of the above.
+
+    Thresholds compare UNROUNDED values (the reported mean_word_len is
+    rounded for display only), so rule booleans replay exactly in SQL.
+    Pure per-document JVM column algebra — shuffle-free like
+    repetition_stats; token/line arrays are materialized once (lambdas
+    re-evaluate captured expressions per element otherwise).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = (df.withColumn("_gq_toks", tokens_col(text_col))
+              .withColumn("_gq_lines", F.split(text, "\n")))
+    toks, lines = F.col("_gq_toks"), F.col("_gq_lines")
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t).cast("long"))
+    mean_len = sum_len / safe_n
+    symbols = (F.regexp_count(text, F.lit("#"))
+               + F.regexp_count(text, F.lit(r"\.\.\."))
+               + F.regexp_count(text, F.lit("…")))
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•‣]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / safe_n
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in
+                  (stopwords if stopwords is not None
+                   else GOPHER_STOPWORDS)])))
+
+    rules = {
+        "ok_token_count": (n >= min_tokens) & (n <= max_tokens),
+        "ok_mean_word_len": (mean_len >= min_mean_word_len)
+                            & (mean_len <= max_mean_word_len),
+        "ok_symbol_ratio": (symbols / safe_n) <= max_symbol_ratio,
+        "ok_bullets": bullet_frac <= max_bullet_frac,
+        "ok_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    gopher_pass = None
+    for c in rules.values():
+        gopher_pass = c if gopher_pass is None else gopher_pass & c
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        *[c.alias(name) for name, c in rules.items()],
+        gopher_pass.alias("gopher_pass"),
+    )

@@ -92,3 +92,36 @@ def test_vocab_topk_plan_is_take_ordered(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     assert "TakeOrderedAndProject" in plan   # heap top-k, not a global sort
+
+
+def test_gopher_rules_per_rule(spark):
+    from pysparkdedup.textstats import gopher_rules
+    good = ("the cat sat on the mat and all of that have been fine with "
+            + " ".join(f"word{i}" for i in range(50)))
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too short to have enough of the words"),  # < 50 tokens
+        (3, "- one\n- two\n- three"),                # all bullet lines
+        (4, "#" * 30 + " " + good),                  # symbol-heavy
+        (5, " ".join("123456" for _ in range(60))),  # no alphabetic words
+        (6, " ".join("x" * 15 for _ in range(60))),  # mean word len > 10
+        (7, None),
+    ]
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["ok_token_count"] is False and not got[2]["gopher_pass"]
+    assert got[3]["ok_bullets"] is False
+    assert got[4]["ok_symbol_ratio"] is False
+    assert got[5]["ok_alpha_words"] is False and got[5]["ok_stopwords"] is False
+    assert got[6]["ok_mean_word_len"] is False
+    assert got[7]["n_tokens"] == 0 and got[7]["gopher_pass"] is False
+
+
+def test_gopher_rules_shuffle_free(spark):
+    from pysparkdedup.textstats import gopher_rules
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    df = gopher_rules(d)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
