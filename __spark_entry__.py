@@ -1644,43 +1644,53 @@ def _pii_aug_sql() -> str:
     )
 
 
-def _pii_redact_oracle_sql() -> str:
-    """Counts via regexp_extract_all, redaction via nested regexp_replace
-    in PII_PATTERNS order (the order pii.redact_pii applies). Valid because
-    the patterns stay inside the Java/RE2-shared subset (test_pii gate)."""
+def _pii_count_sql() -> str:
+    """Per-kind PII counts replaying with_pii_counts' PROGRESSIVE counting:
+    kind k is counted on the text with kinds before k already replaced by
+    their placeholders (counts == placeholders redact_pii emits). Expects a
+    CTE exposing (doc_id, t); emits one 'c' CTE with n_<kind> columns."""
     from pysparkdedup.pii import PII_PATTERNS
 
-    counts = ",\n                   ".join(
-        f"len(regexp_extract_all(t, '{pat}'))::INT AS n_{kind}"
-        for kind, pat in PII_PATTERNS.items())
+    cur = "t"
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{kind}")
+        cur = f"regexp_replace({cur}, '{pat}', '<{kind.upper()}>', 'g')"
+    joined = ",\n                   ".join(counts)
+    return f"SELECT doc_id,\n                   {joined}\n              FROM aug"
+
+
+def _pii_redact_oracle_sql() -> str:
+    """Counts via progressive regexp_extract_all (see _pii_count_sql),
+    redaction via nested regexp_replace in PII_PATTERNS order (the order
+    pii.redact_pii applies). Valid because the patterns stay inside the
+    Java/RE2-shared subset (test_pii gate)."""
+    from pysparkdedup.pii import PII_PATTERNS
+
     red = "t"
     for kind, pat in PII_PATTERNS.items():
         red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
     total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
     return f"""
         WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents),
-        c AS (SELECT doc_id,
-                   {counts},
-                   {red} AS text_redacted
-              FROM aug)
-        SELECT doc_id, n_email, n_ipv4, n_phone, n_card,
-               ({total})::INT AS n_pii, text_redacted
-        FROM c
+        c AS ({_pii_count_sql()}),
+        r AS (SELECT doc_id, {red} AS text_redacted FROM aug)
+        SELECT c.doc_id, n_email::INT AS n_email, n_ipv4::INT AS n_ipv4,
+               n_phone::INT AS n_phone, n_card::INT AS n_card,
+               ({total})::INT AS n_pii, r.text_redacted
+        FROM c JOIN r ON r.doc_id = c.doc_id
     """
 
 
 def _pii_summary_oracle_sql() -> str:
     from pysparkdedup.pii import PII_PATTERNS
 
-    per_doc = ", ".join(
-        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
-        for kind, pat in PII_PATTERNS.items())
     total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
     totals = ", ".join(
         f"sum(n_{k})::BIGINT AS total_{k}" for k in PII_PATTERNS)
     return f"""
         WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents),
-        c AS (SELECT doc_id, {per_doc} FROM aug)
+        c AS ({_pii_count_sql()})
         SELECT count(*)::BIGINT AS n_docs,
                sum(CASE WHEN {total} > 0 THEN 1 ELSE 0 END)::BIGINT
                    AS docs_with_pii,

@@ -26,11 +26,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Ordered: redaction applies patterns in THIS order (an oracle replaying the
-# redaction must nest its regexp_replace calls identically). The patterns
-# are mutually non-overlapping by construction — phone requires a leading
-# '+', card is exactly 4x4 digits with separators, ipv4 is dotted octets —
-# so per-kind counts on the original text equal counts on the partially
-# redacted text, and redaction order only matters for byte layout.
+# redaction must nest its regexp_replace calls identically). Patterns CAN
+# overlap on pathological inputs (ipv4 matches inside 'admin@10.1.2.3.com',
+# phone and card both match a '+1 ...' 16-digit run), so counting each kind
+# on the RAW text would over-count relative to what redact_pii emits.
+# with_pii_counts therefore counts kind k on the text with kinds BEFORE k
+# already replaced — exactly the intermediate string redact_pii sees when it
+# applies pattern k — so n_<kind> equals the number of <KIND> placeholders
+# emitted and n_pii equals total placeholders. (Placeholders contain no
+# digits or '@', so they can never create new matches.)
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}(?:\.\d{1,3}){3}\b",
@@ -40,7 +44,10 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def pii_count(kind: str, text_col: str = "text") -> Column:
-    """Match count of one PII kind over the raw text (JVM regexp_count)."""
+    """Raw match count of ONE PII kind over the unredacted text (JVM
+    regexp_count). NOTE: raw per-kind counts may overlap on pathological
+    inputs (see PII_PATTERNS); for audit numbers that equal what redact_pii
+    actually replaces, use with_pii_counts."""
     return F.regexp_count(
         F.coalesce(F.col(text_col), F.lit("")), F.lit(PII_PATTERNS[kind]))
 
@@ -48,11 +55,17 @@ def pii_count(kind: str, text_col: str = "text") -> Column:
 def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds one ``n_<kind>`` int column per pattern plus ``n_pii`` (total).
 
-    Counts are measured on the original text; see PII_PATTERNS for why
-    order/overlap cannot skew them.
+    Each kind is counted on the text with all PRIOR kinds already replaced
+    by their placeholders — the same intermediate string redact_pii sees —
+    so ``n_<kind>`` equals the ``<KIND>`` placeholders redaction emits and
+    ``n_pii`` equals total placeholders (see PII_PATTERNS ordering note).
+    Still pure JVM regexp column algebra, zero shuffles.
     """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     for kind in PII_PATTERNS:
-        df = df.withColumn(f"n_{kind}", pii_count(kind, text_col))
+        df = df.withColumn(
+            f"n_{kind}", F.regexp_count(cur, F.lit(PII_PATTERNS[kind])))
+        cur = F.regexp_replace(cur, PII_PATTERNS[kind], f"<{kind.upper()}>")
     total = None
     for kind in PII_PATTERNS:
         c = F.col(f"n_{kind}")

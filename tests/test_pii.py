@@ -59,6 +59,23 @@ def test_summary_row(spark):
             row["total_phone"], row["total_card"]) == (2, 3, 3, 1)
 
 
+def test_counts_equal_placeholders_on_overlapping_matches(spark):
+    """Counts must equal the placeholders redaction emits even where the
+    raw patterns overlap: ipv4 inside an email, phone/card on one 16-digit
+    run (the progressive-counting contract in pii.PII_PATTERNS)."""
+    df = spark.createDataFrame(
+        [(1, "mail admin@10.1.2.3.com now"),
+         (2, "pay +1 2345 6789 0123 4567 ok")],
+        "id long, text string")
+    out = {r["id"]: r for r in redact_pii(with_pii_counts(df)).collect()}
+    for rid in (1, 2):
+        emitted = sum(out[rid]["text_redacted"].count(f"<{k.upper()}>")
+                      for k in PII_PATTERNS)
+        assert out[rid]["n_pii"] == emitted, out[rid]
+    # the email swallows the dotted host: no stray <IPV4> count
+    assert (out[1]["n_email"], out[1]["n_ipv4"]) == (1, 0)
+
+
 def test_counts_and_redaction_are_shuffle_free(spark):
     """Per-doc PII work must never shuffle the corpus: the plan is
     scan -> project, zero Exchange nodes."""
