@@ -316,45 +316,64 @@ def _q_group_extremes_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_normalize_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subject-prefix normalizer (ref mail.py:539-546) applied to a synthetic
-    'Re: Fwd: '-prefixed first line of each doc."""
-    from pysparkdedup.normalize import normalize_subject
+def _q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side normalizer family in ONE pass — consolidates the r1-r4
+    single-normalizer micro-queries (normalize_subject, collapse_ws_hash,
+    normalize_content_type, normalize_address) under the driver's 50-query
+    budget; same synthesized inputs, same oracle fragments, concatenated
+    columns. Covers: subject-prefix strip (ref mail.py:539-546),
+    whitespace-collapse + hash (ref mail.py:525-526), MIME-parameter strip
+    (ref mail.py:548-565), address normalization (ref mail.py:578-594)."""
+    from pysparkdedup.normalize import (
+        collapse_ws, normalize_address, normalize_content_type,
+        normalize_subject)
 
     d = _docs(spark, sf_dir)
     first_line = F.split(F.coalesce(F.col("text"), F.lit("")), "\n").getItem(0)
     subject = F.concat(F.lit("Re: Fwd: [list] "), F.substring(first_line, 1, 60))
-    return d.select("doc_id", normalize_subject(subject).alias("norm_subject"))
-
-
-def _q_collapse_ws_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace-collapse normalizer (ref mail.py:525-526) + hash."""
-    from pysparkdedup.normalize import collapse_ws
-
-    d = _docs(spark, sf_dir)
+    mime_raw = F.concat(
+        F.lit("Text/"), F.coalesce(F.col("lang"), F.lit("plain")),
+        F.lit("; charset=UTF-8; boundary="), F.col("source"))
+    addr_raw = F.concat(F.lit('"User  '), F.col("source"), F.lit('" \t<'),
+                        F.col("source"), F.lit("@example.com>"))
     return d.select(
         "doc_id",
+        normalize_subject(subject).alias("norm_subject"),
         F.sha2(collapse_ws(F.coalesce(F.col("text"), F.lit(""))), 256)
         .alias("collapsed_hash"),
+        normalize_content_type(mime_raw).alias("mime"),
+        normalize_address(addr_raw).alias("addr"),
     )
 
 
-def _q_normalize_date_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-to-UTC-day normalizer (ref mail.py:567-576) over events."""
-    e = _events(spark, sf_dir)
-    return e.select(
-        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
-
-
-def _q_strip_angle_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Message-id bracket stripper (ref mail.py:596-619) over synthetic
-    '<source>' values."""
-    from pysparkdedup.normalize import strip_angle_brackets
+def _q_normalize_keys_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-key normalizer family in ONE pass — consolidates the r1-r4
+    micro-queries (strip_angle_brackets, normalize_url, normalize_date_day):
+    message-id bracket strip (ref mail.py:596-619), URL canonicalization
+    (web analog of ref mail.py:176-193) and date-to-UTC-day collapse (ref
+    mail.py:567-576) over a doc_id-derived synthetic timestamp (documents
+    carry no timestamp column; minute-granular so the day collapse is
+    non-trivial)."""
+    from pysparkdedup.normalize import (
+        normalize_date_day, normalize_url, strip_angle_brackets)
 
     d = _docs(spark, sf_dir)
     wrapped = F.concat(F.lit("<"), F.col("source"), F.lit(">"))
+    raw_url = F.concat(
+        F.lit("HTTP://Example.COM:80/"), F.col("source"),
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    ts = F.timestamp_add(
+        "MINUTE", (F.col("doc_id") % 90000).cast("int"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")))
     return d.select(
-        "doc_id", strip_angle_brackets(wrapped).alias("stripped"))
+        "doc_id",
+        strip_angle_brackets(wrapped).alias("stripped"),
+        normalize_url(raw_url).alias("canon_url"),
+        normalize_date_day(ts).alias("day"),
+    )
 
 
 def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
@@ -416,63 +435,23 @@ def _q_select_all_but_one_per_user(spark: SparkSession, sf_dir: str) -> DataFram
     return _strategy_over_events("select-all-but-one", spark, sf_dir)
 
 
-def _path_strategy_over_docs(name: str, spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
+def _q_select_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH path strategies in one query (consolidated from the r1-r4
+    select_matching_path / select_non_matching_path micro-queries under the
+    driver's 50-query budget): select-matching-path (ref strategy.py:156-167)
+    and select-non-matching-path (ref strategy.py:170-181) as two boolean
+    columns from strategy._predicate — pure row-level regexp tests."""
     from pysparkdedup.strategy import _predicate
 
     d = _docs(spark, sf_dir)
-    # Path predicates are pure row-level regexp tests — no group extremes.
-    pred = _predicate(name, F.lit(None).cast("timestamp"),
-                      F.col("n_chars"), F.col("source"), "^src1[0-9]$", {})
-    return d.select("doc_id", "source", pred.alias("selected"))
-
-
-def _q_select_matching_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select-matching-path / discard-non-matching-path (ref strategy.py:156-167)."""
-    return _path_strategy_over_docs("select-matching-path", spark, sf_dir)
-
-
-def _q_select_non_matching_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select-non-matching-path / discard-matching-path (ref strategy.py:170-181)."""
-    return _path_strategy_over_docs("select-non-matching-path", spark, sf_dir)
-
-
-def _q_normalize_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MIME-parameter stripper (ref mail.py:548-565) over synthetic
-    'Text/<lang>; charset=…' values."""
-    from pysparkdedup.normalize import normalize_content_type
-
-    d = _docs(spark, sf_dir)
-    val = F.concat(F.lit("Text/"), F.coalesce(F.col("lang"), F.lit("plain")),
-                   F.lit("; charset=UTF-8; boundary="), F.col("source"))
-    return d.select("doc_id", normalize_content_type(val).alias("mime"))
-
-
-def _q_normalize_address(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Address normalizer: quote-drop + ws-collapse + bracket-strip
-    (ref mail.py:578-594) over synthetic '"User  <src>" <src@example.com>'."""
-    from pysparkdedup.normalize import normalize_address
-
-    d = _docs(spark, sf_dir)
-    val = F.concat(F.lit('"User  '), F.col("source"), F.lit('" \t<'),
-                   F.col("source"), F.lit("@example.com>"))
-    return d.select("doc_id", normalize_address(val).alias("addr"))
-
-
-def _q_normalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization (normalize.normalize_url — web analog of the
-    reference's path/message-id normalizers, ref mail.py:176-193,596-619)
-    over synthetic tracking-laden URLs."""
-    from pysparkdedup.normalize import normalize_url
-
-    d = _docs(spark, sf_dir)
-    raw = F.concat(
-        F.lit("HTTP://Example.COM:80/"), F.col("source"),
-        F.lit("/page/"), F.col("doc_id").cast("string"),
-        F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
-        F.lit("&utm_campaign=y#frag"),
+    args = (F.lit(None).cast("timestamp"), F.col("n_chars"),
+            F.col("source"), "^src1[0-9]$", {})
+    return d.select(
+        "doc_id", "source",
+        _predicate("select-matching-path", *args).alias("sel_matching"),
+        _predicate("select-non-matching-path", *args)
+        .alias("sel_non_matching"),
     )
-    return d.select("doc_id", normalize_url(raw).alias("canon_url"))
 
 
 def _q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,6 +848,26 @@ def _q_pii_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_summary(_with_synth_pii(_docs(spark, sf_dir)))
 
 
+def _q_curation_pass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE curation pass — the whole `--mode curate` verb as one
+    oracled query (the engine's analog of the reference's whole-verb golden
+    e2e tests, ref tests/test_strategy.py:136-381): Gopher repetition filter
+    (drop docs with rounded duplicate-2-gram char fraction > 0.15) ->
+    CCNet boilerplate-line removal (10-token pseudo-lines, min_df=5) ->
+    Dolma keep-first paragraph dedup -> PII redaction, over documents with
+    deterministically planted PII. Each stage is individually oracled
+    elsewhere; this catches stage-COMPOSITION bugs (order, schema drift,
+    filter-then-rebuild interaction) that per-stage oracles cannot."""
+    from pysparkdedup.curate import curate_pages
+
+    d = _with_synth_pii(_docs(spark, sf_dir)).select("doc_id", "text")
+    out = curate_pages(
+        d, max_dup_gram_frac=0.15, boilerplate_min_df=5,
+        dedup_paragraphs=True, redact=True, line_mode="chunk",
+        id_col="doc_id", text_col="text")
+    return out.select("doc_id", F.col("text").alias("curated_text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -884,8 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_smallest_per_user": _q_select_smallest_per_user,
         "select_bigger_per_user": _q_select_bigger_per_user,
         "select_all_but_one_per_user": _q_select_all_but_one_per_user,
-        "select_matching_path": _q_select_matching_path,
-        "select_non_matching_path": _q_select_non_matching_path,
+        "select_paths": _q_select_paths,
         "cascade_newest_then_one": _q_cascade_newest_then_one,
         "reject_filter_by_lang": _q_reject_filter_by_lang,
         "regexp_select": _q_regexp_select,
@@ -895,13 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pointer_dedup_exact": _q_pointer_dedup_exact,
         "group_extremes_lineitem": _q_group_extremes_lineitem,
         "embedding_top1_exact": _q_embedding_top1_exact,
-        "normalize_subject": _q_normalize_subject,
-        "collapse_ws_hash": _q_collapse_ws_hash,
-        "normalize_date_day": _q_normalize_date_day,
-        "strip_angle_brackets": _q_strip_angle_brackets,
-        "normalize_content_type": _q_normalize_content_type,
-        "normalize_address": _q_normalize_address,
-        "normalize_url": _q_normalize_url,
+        "normalize_text_docs": _q_normalize_text_docs,
+        "normalize_keys_docs": _q_normalize_keys_docs,
         "lang_id_docs": _q_lang_id_docs,
         "containment_pairs_docs": _q_containment_pairs_docs,
         "checkpoint_resume_docs": _q_checkpoint_resume_docs,
@@ -929,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_dedup_docs": _q_cross_corpus_dedup_docs,
         "pii_redact_docs": _q_pii_redact_docs,
         "pii_summary_docs": _q_pii_summary_docs,
+        "curation_pass_docs": _q_curation_pass_docs,
     }
 
 
@@ -1699,6 +1693,82 @@ def _pii_summary_oracle_sql() -> str:
     """
 
 
+def _curation_pass_oracle_sql() -> str:
+    """Replays the full curate_pages composition as nested CTEs, each stage
+    the same SQL fragment its per-stage oracle uses: planted-PII text ->
+    repetition filter (rounded dup_gram_frac > 0.15, matching
+    repetition_stats' rounded output) -> 10-token chunk lines -> boilerplate
+    df >= 5 over the SURVIVORS -> keep-first dedup (row_number over
+    (doc_id, pos); equivalent to the engine's min-(id, pos-within-kept)
+    winner because the boilerplate filter preserves per-doc line order) ->
+    rebuild -> nested regexp_replace redaction in PII_PATTERNS order."""
+    from pysparkdedup.pii import PII_PATTERNS
+
+    red = "t1"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    return rf"""
+        WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(t), '\s+'),
+                               x -> x != '') AS ts
+            FROM aug
+        ), grams AS (
+            SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+            FROM (SELECT doc_id, ts,
+                         unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                  FROM toks)
+        ), per_gram AS (
+            SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+            FROM grams GROUP BY doc_id, gram
+        ), rep AS (
+            SELECT doc_id,
+                   sum(cnt * glen) AS total_chars,
+                   sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_chars
+            FROM per_gram GROUP BY doc_id
+        ), bad AS (
+            SELECT doc_id FROM rep
+            WHERE round(dup_chars / greatest(total_chars, 1)::DOUBLE, 4) > 0.15
+        ), surv AS (
+            SELECT a.doc_id, a.t FROM aug a
+            LEFT JOIN bad b ON b.doc_id = a.doc_id WHERE b.doc_id IS NULL
+        ), stoks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(t), '\s+'),
+                               x -> x != '') AS ts
+            FROM surv
+        ), chunks AS (
+            SELECT doc_id, c AS pos,
+                   array_to_string(ts[(c*10+1):(c*10+10)], ' ') AS line
+            FROM (SELECT doc_id, ts,
+                         unnest(generate_series(0,
+                             cast(ceil(len(ts) / 10.0) AS INT) - 1)) AS c
+                  FROM stoks)
+        ), boiler AS (
+            SELECT line FROM chunks
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+        ), keptb AS (
+            SELECT c.* FROM chunks c
+            LEFT JOIN boiler b ON b.line = c.line WHERE b.line IS NULL
+        ), ranked AS (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, pos) AS rn
+            FROM keptb
+        ), kept AS (
+            SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+        ), agg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t1
+            FROM kept GROUP BY doc_id
+        ), reb AS (
+            SELECT s.doc_id, coalesce(a.t1, '') AS t1
+            FROM surv s LEFT JOIN agg a ON a.doc_id = s.doc_id
+        )
+        SELECT doc_id, {red} AS curated_text FROM reb
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from pysparkdedup.textstats import STOPWORDS
 
@@ -1862,31 +1932,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(l_quantity)::BIGINT AS sum_qty
             FROM lineitem GROUP BY l_orderkey
         """,
-        "normalize_subject": r"""
+        "normalize_text_docs": r"""
             SELECT doc_id,
                    regexp_replace(
                        'Re: Fwd: [list] ' ||
                        substring(split_part(coalesce(text, ''), chr(10), 1), 1, 60),
                        '(?i)^(?:(?:re|fwd?): +|\[\w[\w_-]*\w?\] +)+', '')
-                   AS norm_subject
-            FROM documents
-        """,
-        "collapse_ws_hash": r"""
-            SELECT doc_id,
+                   AS norm_subject,
                    sha256(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
-                   AS collapsed_hash
-            FROM documents
-        """,
-        "normalize_date_day": """
-            SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events
-        """,
-        "strip_angle_brackets": """
-            SELECT doc_id,
-                   CASE WHEN regexp_extract('<' || source || '>',
-                                            '^<([^<>,]+)>$', 1) != ''
-                        THEN regexp_extract('<' || source || '>',
-                                            '^<([^<>,]+)>$', 1)
-                        ELSE '<' || source || '>' END AS stripped
+                   AS collapsed_hash,
+                   lower(trim(regexp_replace(
+                       'Text/' || coalesce(lang, 'plain')
+                       || '; charset=UTF-8; boundary=' || source,
+                       ';.*', ''))) AS mime,
+                   regexp_replace(
+                       trim(regexp_replace(
+                           replace('"User  ' || source || '" ' || chr(9)
+                                   || '<' || source || '@example.com>',
+                                   '"', ''),
+                           '\s+', ' ', 'g')),
+                       '[<>]', '', 'g') AS addr
             FROM documents
         """,
         "select_older_per_user": """
@@ -1921,36 +1986,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn > 1
         """,
-        "select_matching_path": """
+        "select_paths": """
             SELECT doc_id, source,
-                   regexp_matches(source, '^src1[0-9]$') AS selected
+                   regexp_matches(source, '^src1[0-9]$') AS sel_matching,
+                   NOT regexp_matches(source, '^src1[0-9]$') AS sel_non_matching
             FROM documents
         """,
-        "select_non_matching_path": """
-            SELECT doc_id, source,
-                   NOT regexp_matches(source, '^src1[0-9]$') AS selected
-            FROM documents
-        """,
-        "normalize_content_type": """
-            SELECT doc_id,
-                   lower(trim(regexp_replace(
-                       'Text/' || coalesce(lang, 'plain')
-                       || '; charset=UTF-8; boundary=' || source,
-                       ';.*', ''))) AS mime
-            FROM documents
-        """,
-        "normalize_address": r"""
-            SELECT doc_id,
-                   regexp_replace(
-                       trim(regexp_replace(
-                           replace('"User  ' || source || '" ' || chr(9)
-                                   || '<' || source || '@example.com>',
-                                   '"', ''),
-                           '\s+', ' ', 'g')),
-                       '[<>]', '', 'g') AS addr
-            FROM documents
-        """,
-        "normalize_url": r"""
+        "normalize_keys_docs": r"""
             WITH raw AS (
                 SELECT doc_id,
                        'HTTP://Example.COM:80/' || source || '/page/' || doc_id
@@ -1985,10 +2027,18 @@ def oracle_sql() -> dict[str, str]:
                                       '\?&', '?') AS u
                 FROM notrack
             )
-            SELECT doc_id,
-                   regexp_replace(regexp_replace(u, '[?&]$', ''), '/$', '')
-                   AS canon_url
-            FROM tidy
+            SELECT t.doc_id,
+                   CASE WHEN regexp_extract('<' || d.source || '>',
+                                            '^<([^<>,]+)>$', 1) != ''
+                        THEN regexp_extract('<' || d.source || '>',
+                                            '^<([^<>,]+)>$', 1)
+                        ELSE '<' || d.source || '>' END AS stripped,
+                   regexp_replace(regexp_replace(t.u, '[?&]$', ''), '/$', '')
+                   AS canon_url,
+                   strftime(TIMESTAMP '2020-01-01 00:00:00'
+                            + to_minutes(CAST(t.doc_id % 90000 AS BIGINT)),
+                            '%Y-%m-%d') AS day
+            FROM tidy t JOIN documents d ON d.doc_id = t.doc_id
         """,
         "lang_id_docs": rf"""
             WITH tok AS (
@@ -2187,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_dedup_docs": _cross_corpus_oracle_sql(),
         "pii_redact_docs": _pii_redact_oracle_sql(),
         "pii_summary_docs": _pii_summary_oracle_sql(),
+        "curation_pass_docs": _curation_pass_oracle_sql(),
         "gopher_rules_docs": _gopher_rules_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),

@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--redact-pii", action="store_true",
                    help="curate: scrub emails/IPs/phones/cards with typed "
                         "placeholders")
+    p.add_argument("--line-mode", default="newline",
+                   choices=["newline", "chunk"],
+                   help="curate: line unit for the boilerplate/paragraph "
+                        "stages — 'newline' splits on real \\n (lossless "
+                        "for untouched docs, the right choice for web "
+                        "text); 'chunk' uses normalized 10-token "
+                        "pseudo-lines for newline-free corpora")
     p.add_argument("--strategy", action="append", default=[],
                    choices=sorted(ALL_STRATEGY_IDS),
                    help="selection strategy; repeat for a cascade")
@@ -209,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
                 boilerplate_min_df=args.boilerplate_min_df,
                 dedup_paragraphs=args.dedup_paragraphs,
                 redact=args.redact_pii,
+                line_mode=args.line_mode,
             )
             cur.write.mode("overwrite").parquet(args.output)
             # DOCS_OUT from the written footers (metadata-scale, no

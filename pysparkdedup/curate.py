@@ -14,11 +14,13 @@ module — repetition_stats is shuffle-free, the line ops dehydrate (only
 id-keyed corpus-to-corpus equi-joins (AQE-planned). The full text column
 rides exactly one join per enabled line stage, never an aggregation.
 
-Note: the line stages rewrite ``text`` in normalized line space
-(lowercased, whitespace-collapsed 10-token pseudo-lines re-joined with
-newlines) — same convention as the driver-contract line queries. Real
-newline-delimited web text would pass ``split(text, '\\n')`` lines instead
-(repetition.drop_boilerplate_lines docstring).
+Line units are selectable (``line_mode``): ``"newline"`` splits on real
+``'\\n'`` — the right choice for web text, and LOSSLESS for documents that
+lose no lines (split + re-join with ``'\\n'`` is an exact inverse, so case
+and layout survive); ``"chunk"`` uses normalized 10-token pseudo-lines
+(lowercased, whitespace-collapsed) for newline-free corpora — same
+convention as the driver-contract line queries, and destructive by design
+(text is rewritten in pseudo-line space).
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def curate_pages(
     dedup_paragraphs: bool = False,
     redact: bool = False,
     tokens_per_line: int = 10,
+    line_mode: str = "chunk",
     id_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
@@ -56,8 +59,15 @@ def curate_pages(
       distinct documents (CCNet-style);
     - ``dedup_paragraphs``   : keep-first corpus-wide line dedup
       (Dolma-style);
-    - ``redact``             : scrub PII with typed placeholders (pii.py).
+    - ``redact``             : scrub PII with typed placeholders (pii.py);
+    - ``line_mode``          : line unit for the two line stages —
+      ``"newline"`` (real ``'\\n'`` lines; lossless for untouched docs) or
+      ``"chunk"`` (normalized ``tokens_per_line``-token pseudo-lines for
+      newline-free corpora; rewrites text in pseudo-line space).
     """
+    if line_mode not in ("chunk", "newline"):
+        raise ValueError(
+            f"line_mode must be 'chunk' or 'newline', got {line_mode!r}")
     cur = pages
     if max_dup_gram_frac is not None:
         reps = repetition_stats(cur, n=2, id_col=id_col, text_col=text_col)
@@ -65,8 +75,15 @@ def curate_pages(
             F.col("dup_gram_frac") > max_dup_gram_frac).select(id_col)
         cur = cur.join(bad, id_col, "left_anti")
     if boilerplate_min_df > 0 or dedup_paragraphs:
-        lines_df = with_chunk_lines(
-            cur, tokens_per_line, text_col=text_col).select(id_col, "lines")
+        if line_mode == "newline":
+            lines_df = cur.select(
+                id_col,
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+                .alias("lines"))
+        else:
+            lines_df = with_chunk_lines(
+                cur, tokens_per_line, text_col=text_col).select(
+                    id_col, "lines")
         if boilerplate_min_df > 0:
             b = drop_boilerplate_lines(
                 lines_df, boilerplate_min_df, id_col=id_col)

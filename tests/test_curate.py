@@ -92,6 +92,80 @@ def test_composed_stages(spark, pages_factory):
     assert "<EMAIL>" in got["u/d2"]["text"]
 
 
+def test_newline_mode_uses_real_lines(spark, pages_factory):
+    """line_mode='newline' splits on real '\\n': boilerplate/paragraph
+    stages see the document's own lines, and case/layout survive."""
+    footer = "© Example Corp | All Rights Reserved"
+    pages = pages_factory([
+        ("u/1", ts(0), f"First UNIQUE Paragraph.\n{footer}", "en"),
+        ("u/2", ts(1), f"Second body text here.\n{footer}", "en"),
+        ("u/3", ts(2), f"Third DIFFERENT content.\n{footer}", "en"),
+    ])
+    got = by_url(curate_pages(pages, boilerplate_min_df=3,
+                              line_mode="newline"))
+    assert got["u/1"]["text"] == "First UNIQUE Paragraph."  # case preserved
+    for u in ("u/1", "u/2", "u/3"):
+        assert footer not in got[u]["text"]
+
+
+def test_newline_mode_is_lossless_for_untouched_docs(spark, pages_factory):
+    """A document that loses no lines must come back byte-identical in
+    newline mode (split + concat_ws('\\n') is an exact inverse) — the
+    non-destructive property chunk mode cannot give."""
+    text = "Mixed CASE\n\n  indented line\ttabbed\nlast"
+    pages = pages_factory([("u/a", ts(0), text, "en"),
+                           ("u/b", ts(1), "Other Doc\nsecond", "en")])
+    got = by_url(curate_pages(pages, boilerplate_min_df=2,
+                              dedup_paragraphs=True, line_mode="newline"))
+    assert got["u/a"]["text"] == text
+    assert got["u/b"]["text"] == "Other Doc\nsecond"
+
+
+def test_newline_paragraph_dedup_keeps_first(spark, pages_factory):
+    shared = "This exact paragraph appears twice."
+    pages = pages_factory([
+        ("u/1", ts(0), f"{shared}\nunique one", "en"),
+        ("u/2", ts(1), f"{shared}\nunique two", "en"),
+    ])
+    got = by_url(curate_pages(pages, dedup_paragraphs=True,
+                              line_mode="newline"))
+    assert got["u/1"]["text"] == f"{shared}\nunique one"
+    assert got["u/2"]["text"] == "unique two"
+
+
+def test_bad_line_mode_raises(spark, pages_factory):
+    pages = pages_factory([("u/a", ts(0), "x", "en")])
+    with pytest.raises(ValueError, match="line_mode"):
+        curate_pages(pages, dedup_paragraphs=True, line_mode="words")
+
+
+@pytest.mark.slow
+def test_cli_curate_newline_end_to_end(spark, pages_factory, tmp_path,
+                                       capsys):
+    """--mode curate with the (default) newline line mode over a
+    newline-delimited corpus: real lines dropped, untouched docs lossless."""
+    from pysparkdedup.cli import main
+
+    footer = "Subscribe to our newsletter"
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    pages_factory([
+        ("u/1", ts(0), f"Alpha Body One.\n{footer}", "en"),
+        ("u/2", ts(1), f"Beta Body Two.\n{footer}", "en"),
+        ("u/3", ts(2), f"Gamma jane@example.com Three.\n{footer}", "en"),
+    ]).write.parquet(inp)
+    rc = main([
+        "--input", inp, "--mode", "curate", "--output", out,
+        "--boilerplate-min-df", "3", "--redact-pii",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats == {"DOCS_IN": 3, "DOCS_OUT": 3}
+    got = by_url(spark.read.parquet(out))
+    assert got["u/1"]["text"] == "Alpha Body One."
+    assert got["u/3"]["text"] == "Gamma <EMAIL> Three."
+
+
 @pytest.mark.slow
 def test_cli_curate_end_to_end(spark, pages_factory, tmp_path, capsys):
     from pysparkdedup.cli import main
@@ -106,7 +180,7 @@ def test_cli_curate_end_to_end(spark, pages_factory, tmp_path, capsys):
     rc = main([
         "--input", inp, "--mode", "curate", "--output", out,
         "--max-dup-gram-frac", "0.5", "--dedup-paragraphs", "--redact-pii",
-        "--master", "local[4]",
+        "--line-mode", "chunk", "--master", "local[4]",
     ])
     assert rc == 0
     stats = json.loads(capsys.readouterr().out)
