@@ -241,11 +241,12 @@ class SignatureCheckpoint:
         except FileNotFoundError:
             pass
 
-    def _gc_orphans(self, keep_dir: str) -> None:
-        """Remove data dirs not referenced by the manifest — a crashed or
-        lost-race writer's leftovers. Only ever called under the lock."""
+    def _gc_orphans(self, keep_dirs: set[str]) -> None:
+        """Remove data/dim dirs not referenced by the manifest — a crashed
+        or lost-race writer's leftovers. Only ever called under the lock."""
+        prefixes = (f"{DATA_DIR}-", "exactdim-", "bands-", "bandstats-")
         for name in os.listdir(self.path):
-            if (name.startswith(f"{DATA_DIR}-") and name != keep_dir
+            if (name.startswith(prefixes) and name not in keep_dirs
                     and os.path.isdir(os.path.join(self.path, name))):
                 shutil.rmtree(os.path.join(self.path, name),
                               ignore_errors=True)
@@ -256,6 +257,7 @@ class SignatureCheckpoint:
         cfg: DedupConfig,
         metrics_fn=None,
         input_files: list[str] | None = None,
+        cross_dims: bool = False,
     ) -> None:
         """Atomic replace: write parquet to a fresh dir, then swap the
         manifest pointer (the one-transaction property, ref cache.py:399-416).
@@ -269,7 +271,22 @@ class SignatureCheckpoint:
         signature table, not the corpus, so metadata-scale cost), plus the
         distinct source files that fed the snapshot and the run's
         ResumeMetrics. That makes a resume auditable offline: which inputs
-        produced which partitions, and how much the checkpoint saved."""
+        produced which partitions, and how much the checkpoint saved.
+
+        ``cross_dims=True`` additionally persists the derivations
+        crosscorpus.dedup_against needs from the OLD side of an incremental
+        run, so warm runs do ZERO old-side aggregations (the reference's
+        cache stores exactly what makes re-runs cheap, ref cache.py:175-184,
+        docs/performance.md:111):
+        - ``exactdim-*``  : content_hash -> min(url) exact-match dim;
+        - ``bands-*``     : (band_id, band_hash, url) LSH band projection;
+        - ``bandstats-*`` : per-bucket (count, min-url representative) —
+          the hot-bucket gate + degrade dim, so even bucket sizing costs
+          no old-side shuffle at dedup time.
+        The one-time cost rides the commit (aggregations over the
+        just-written signature table, metadata-scale vs the corpus); a
+        monthly incremental against a 100-TB old corpus then never
+        re-shuffles the old side."""
         os.makedirs(self.path, exist_ok=True)
         token = self._acquire_lock()
         try:
@@ -305,6 +322,33 @@ class SignatureCheckpoint:
                 "partitions": partitions,
                 "total_rows": sum(p["rows"] for p in partitions),
             }
+            keep = {new_dir}
+            if cross_dims:
+                from .minhash import lsh_bands
+
+                tag = uuid.uuid4().hex[:12]
+                exact_dir = f"exactdim-{tag}"
+                bands_dir = f"bands-{tag}"
+                stats_dir = f"bandstats-{tag}"
+                committed.groupBy("content_hash").agg(
+                    F.min("url").alias("url")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.path, exact_dir))
+                bands = lsh_bands(
+                    committed.select("url", "minhash"), cfg)
+                bands.write.mode("overwrite").parquet(
+                    os.path.join(self.path, bands_dir))
+                committed.sparkSession.read.parquet(
+                    os.path.join(self.path, bands_dir)
+                ).groupBy("band_id", "band_hash").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("url").alias("rep_url"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.path, stats_dir))
+                manifest["exact_dim"] = exact_dir
+                manifest["bands"] = bands_dir
+                manifest["band_stats"] = stats_dir
+                keep |= {exact_dir, bands_dir, stats_dir}
             if metrics is not None:
                 manifest["metrics"] = metrics.to_dict()
             if input_files:
@@ -313,9 +357,34 @@ class SignatureCheckpoint:
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh, indent=2, default=str)
             os.replace(tmp, self._manifest_path())
-            self._gc_orphans(keep_dir=new_dir)
+            self._gc_orphans(keep_dirs=keep)
         finally:
             self._release_lock(token)
+
+    def load_cross_dims(
+        self, spark: SparkSession, cfg: DedupConfig,
+    ) -> dict[str, DataFrame] | None:
+        """The persisted old-side dims for crosscorpus.dedup_against
+        (``exact_dim`` / ``bands`` / ``band_stats`` frames), or None when
+        the checkpoint is absent, fingerprint-mismatched, or was committed
+        without ``cross_dims=True``. Fingerprint-guarded like load(): a
+        banding-config change invalidates the dims with the data."""
+        manifest = self.read_manifest()
+        if manifest is None:
+            return None
+        if manifest.get("fingerprint") != cfg.signature_fingerprint():
+            return None
+        if not all(k in manifest for k in ("exact_dim", "bands",
+                                           "band_stats")):
+            return None
+        return {
+            "exact_dim": spark.read.parquet(
+                os.path.join(self.path, manifest["exact_dim"])),
+            "bands": spark.read.parquet(
+                os.path.join(self.path, manifest["bands"])),
+            "band_stats": spark.read.parquet(
+                os.path.join(self.path, manifest["band_stats"])),
+        }
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage of the committed snapshot: one entry per
@@ -333,7 +402,7 @@ class SignatureCheckpoint:
 
 def signatures_with_checkpoint(
     pages: DataFrame, cfg: DedupConfig, checkpoint_path: str,
-    commit: bool = True,
+    commit: bool = True, cross_dims: bool = False,
 ) -> DataFrame:
     """Signature table for ``pages``, reusing checkpointed rows.
 
@@ -353,10 +422,17 @@ def signatures_with_checkpoint(
     With ``commit=True`` the manifest also records ResumeMetrics (reused /
     recomputed / pruned counts) and per-partition lineage. The reused and
     recomputed counters ride the commit's own write job as Observations —
-    zero extra jobs; the pruned count is one url-only anti-join count
-    (column-pruned scan of the old snapshot's keys, metadata-scale). Read
-    them back via ``SignatureCheckpoint(path).last_metrics()`` /
-    ``.lineage()``.
+    zero extra jobs for those two; the pruned count and the source-file
+    lineage DO each cost one extra job on the commit path (a url-only
+    anti-join count over the old snapshot's keys, and an
+    input_file_name-distinct over the snapshot input — both column-pruned,
+    but the latter does re-scan the corpus input's file metadata), which is
+    why neither runs when ``commit=False``. Read them back via
+    ``SignatureCheckpoint(path).last_metrics()`` / ``.lineage()``.
+
+    ``cross_dims=True`` (commit path only) additionally persists the
+    old-side dims for crosscorpus.dedup_against — see
+    SignatureCheckpoint.commit.
     """
     spark = pages.sparkSession
     ckpt = SignatureCheckpoint(checkpoint_path)
@@ -367,7 +443,6 @@ def signatures_with_checkpoint(
     tag = uuid.uuid4().hex[:8]
     obs_hit = Observation(f"ckpt_reused_{tag}")
     obs_fresh = Observation(f"ckpt_recomputed_{tag}")
-    n_pruned = 0
     if cached is None:
         fresh = compute_signatures(pages, cfg).observe(
             obs_fresh, F.count(F.lit(1)).alias("n"))
@@ -383,10 +458,16 @@ def signatures_with_checkpoint(
         fresh = compute_signatures(miss_rows.drop("stale_key"), cfg).observe(
             obs_fresh, F.count(F.lit(1)).alias("n"))
         result = hits.unionByName(fresh)
+
+    def _count_pruned() -> int:
         # Vanished rows: in the old snapshot, url no longer present. Counted
         # over the two key columns only (column pruning keeps this cheap even
-        # when the signature payload is wide).
-        n_pruned = cached.select("url").join(
+        # when the signature payload is wide). Only ever run on the commit
+        # path — the metric is recorded in the manifest and unused otherwise,
+        # so a non-commit call must not pay this extra Spark job.
+        if cached is None:
+            return 0
+        return cached.select("url").join(
             keyed.select("url"), "url", "left_anti").count()
 
     if commit:
@@ -406,9 +487,10 @@ def signatures_with_checkpoint(
             n_fresh = int(obs_fresh.get["n"])
             return ResumeMetrics(
                 reused=n_reused, recomputed=n_fresh,
-                pruned=n_pruned, total=n_reused + n_fresh)
+                pruned=_count_pruned(), total=n_reused + n_fresh)
 
-        ckpt.commit(result, cfg, metrics_fn=_metrics, input_files=input_files)
+        ckpt.commit(result, cfg, metrics_fn=_metrics,
+                    input_files=input_files, cross_dims=cross_dims)
         committed = ckpt.load(spark, cfg)
         assert committed is not None  # we just wrote this fingerprint
         return committed

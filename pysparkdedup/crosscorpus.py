@@ -44,6 +44,7 @@ def cross_candidate_pairs(
     new_bands: DataFrame,
     old_bands: DataFrame,
     cap: int = DEFAULT_CROSS_CAP,
+    old_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (url, old_url) pairs sharing >= 1 LSH band bucket.
 
@@ -52,22 +53,25 @@ def cross_candidate_pairs(
     representative, broadcast — bounded pairs per new doc, no quadratic
     bucket blowup, exactly the skew posture of pairs.bucket_pairs but
     asymmetric (the new side is never collected or capped).
+
+    ``old_stats`` — an optional precomputed per-bucket (band_id, band_hash,
+    n, rep_url) frame, e.g. SignatureCheckpoint.load_cross_dims()'s
+    ``band_stats``. When provided, BOTH the bucket sizing and the
+    hot-bucket representative pick come from it, so this function runs
+    zero aggregations over the old side — the warm incremental path.
     """
     keys = ["band_id", "band_hash"]
-    sizes = old_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    if old_stats is None:
+        old_stats = old_bands.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"), F.min("url").alias("rep_url"))
 
     cold_old = old_bands.join(
-        sizes.filter(F.col("_bn") <= cap).select(*keys), keys)
+        old_stats.filter(F.col("n") <= cap).select(*keys), keys)
     cold = new_bands.join(
         cold_old.select(*keys, F.col("url").alias("old_url")), keys)
 
-    hot_reps = (
-        old_bands.join(
-            F.broadcast(sizes.filter(F.col("_bn") > cap).select(*keys)),
-            keys)
-        .groupBy(*keys)
-        .agg(F.min("url").alias("old_url"))
-    )
+    hot_reps = old_stats.filter(F.col("n") > cap).select(
+        *keys, F.col("rep_url").alias("old_url"))
     hot = new_bands.join(F.broadcast(hot_reps), keys)
 
     return (
@@ -78,9 +82,14 @@ def cross_candidate_pairs(
 
 
 def hot_old_bucket_count(old_bands: DataFrame,
-                         cap: int = DEFAULT_CROSS_CAP) -> int:
+                         cap: int = DEFAULT_CROSS_CAP,
+                         old_stats: DataFrame | None = None) -> int:
     """How many old-side band buckets degraded to a representative —
-    the observability hook for the recall trade documented above."""
+    the observability hook for the recall trade documented above. With
+    ``old_stats`` (persisted band_stats dim) this is a filter-count over
+    the tiny stats table, no old-side aggregation."""
+    if old_stats is not None:
+        return old_stats.filter(F.col("n") > cap).count()
     return (
         old_bands.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -112,6 +121,7 @@ def dedup_against(
     cfg: DedupConfig | None = None,
     new_sigs: DataFrame | None = None,
     cap: int = DEFAULT_CROSS_CAP,
+    old_dims: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Flag every new page as exact_dup / near_dup / unique vs an old corpus.
 
@@ -126,6 +136,17 @@ def dedup_against(
       best-jaccard-then-min-url for near matches (deterministic);
     - ``jaccard`` : 1.0 for exact, the best match's estimate for near,
       null for unique.
+
+    ``old_dims`` — the dict SignatureCheckpoint.load_cross_dims() returns
+    (``exact_dim`` / ``bands`` / ``band_stats``). When provided, the old
+    side is never aggregated OR banded here: the exact hash->min(url) dim,
+    the band projection, and the per-bucket stats all come precomputed from
+    the previous commit, so a warm incremental run does zero old-side
+    shuffles (the only old-side touches are equi-join probes). Without it,
+    this function re-derives all three per run — correct, but a monthly
+    full aggregation of the old corpus at scale (the reference's cache
+    stores exactly what makes warm runs cheap, ref cache.py:175-184).
+    Prefer dedup_against_checkpoint for the warm path.
     """
     from pyspark import StorageLevel
 
@@ -135,9 +156,13 @@ def dedup_against(
     cfg = cfg or DedupConfig()
 
     keyed = new_pages.withColumn("_ch", content_hash_expr(cfg))
-    # one old-corpus pass builds the exact-match dim: hash -> min(url)
-    old_rep = old_sigs.groupBy("content_hash").agg(
-        F.min("url").alias("_old_exact"))
+    if old_dims is not None:
+        old_rep = old_dims["exact_dim"].select(
+            "content_hash", F.col("url").alias("_old_exact"))
+    else:
+        # one old-corpus pass builds the exact-match dim: hash -> min(url)
+        old_rep = old_sigs.groupBy("content_hash").agg(
+            F.min("url").alias("_old_exact"))
     exact = track(
         keyed.select("url", "_ch")
         .join(old_rep.withColumnRenamed("content_hash", "_ch"),
@@ -157,8 +182,11 @@ def dedup_against(
         new_sigs.select("url", "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK))
 
+    old_bands = (old_dims["bands"] if old_dims is not None
+                 else lsh_bands(old_sigs, cfg))
+    old_stats = old_dims["band_stats"] if old_dims is not None else None
     pairs = cross_candidate_pairs(
-        lsh_bands(new_sigs, cfg), lsh_bands(old_sigs, cfg), cap=cap)
+        lsh_bands(new_sigs, cfg), old_bands, cap=cap, old_stats=old_stats)
     scored = _cross_jaccard(pairs, new_sigs, old_sigs, cfg).filter(
         F.col("jaccard") >= cfg.jaccard_threshold)
     best = scored.groupBy("url").agg(
@@ -179,3 +207,33 @@ def dedup_against(
         F.when(F.col("_old_exact").isNotNull(), F.lit(1.0))
         .otherwise(F.round(-F.col("_b.nj"), 4)).alias("jaccard"),
     )
+
+
+def dedup_against_checkpoint(
+    new_pages: DataFrame,
+    checkpoint_path: str,
+    cfg: DedupConfig | None = None,
+    cap: int = DEFAULT_CROSS_CAP,
+) -> DataFrame:
+    """The warm incremental path: dedup ``new_pages`` against the old
+    corpus's committed signature checkpoint, loading BOTH the signature
+    table and (when the commit carried ``cross_dims=True``) the persisted
+    exact/band/band-stats dims — zero old-side recompute AND zero old-side
+    shuffles. Falls back to per-run derivation when the dims are absent.
+
+    Raises FileNotFoundError when no fingerprint-matching checkpoint
+    exists — an incremental run against nothing is a config error, not a
+    silently-empty old corpus."""
+    from .checkpoint import SignatureCheckpoint
+
+    cfg = cfg or DedupConfig()
+    ckpt = SignatureCheckpoint(checkpoint_path)
+    old_sigs = ckpt.load(new_pages.sparkSession, cfg)
+    if old_sigs is None:
+        raise FileNotFoundError(
+            f"no signature checkpoint with a matching fingerprint at "
+            f"{checkpoint_path!r} — commit one with "
+            f"signatures_with_checkpoint(..., cross_dims=True) first")
+    old_dims = ckpt.load_cross_dims(new_pages.sparkSession, cfg)
+    return dedup_against(new_pages, old_sigs, cfg, cap=cap,
+                         old_dims=old_dims)

@@ -95,6 +95,80 @@ def test_hot_bucket_degrades_to_representative(pages_factory):
     assert got["new/0"]["status"] == "exact_dup"  # identical text is exact
 
 
+def test_warm_path_with_persisted_dims_matches_cold(old_new, tmp_path):
+    """cross_dims=True commit + dedup_against_checkpoint (the warm
+    incremental path, zero old-side shuffles) must produce exactly the
+    cold path's verdicts."""
+    from pysparkdedup.checkpoint import (
+        SignatureCheckpoint, signatures_with_checkpoint)
+    from pysparkdedup.crosscorpus import dedup_against_checkpoint
+
+    old, new = old_new
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    old_sigs = signatures_with_checkpoint(old, cfg, path, cross_dims=True)
+
+    dims = SignatureCheckpoint(path).load_cross_dims(old.sparkSession, cfg)
+    assert dims is not None
+    assert set(dims) == {"exact_dim", "bands", "band_stats"}
+    # the persisted stats dim also answers the degrade observability hook
+    assert hot_old_bucket_count(None, cap=2000,
+                                old_stats=dims["band_stats"]) == 0
+
+    cold = {r["url"]: r.asDict()
+            for r in dedup_against(new, old_sigs, cfg).collect()}
+    warm = {r["url"]: r.asDict()
+            for r in dedup_against_checkpoint(new, path, cfg).collect()}
+    assert warm == cold
+    assert warm["new/exact"]["status"] == "exact_dup"
+    assert warm["new/near"]["status"] == "near_dup"
+
+
+def test_load_cross_dims_absent_without_flag_or_on_mismatch(old_new,
+                                                            tmp_path):
+    from pysparkdedup.checkpoint import (
+        SignatureCheckpoint, signatures_with_checkpoint)
+
+    old, _ = old_new
+    cfg = DedupConfig()
+    plain = str(tmp_path / "plain")
+    signatures_with_checkpoint(old, cfg, plain)  # no cross_dims
+    assert SignatureCheckpoint(plain).load_cross_dims(
+        old.sparkSession, cfg) is None
+
+    dimmed = str(tmp_path / "dimmed")
+    signatures_with_checkpoint(old, cfg, dimmed, cross_dims=True)
+    other = DedupConfig(num_perm=cfg.num_perm * 2)
+    assert SignatureCheckpoint(dimmed).load_cross_dims(
+        old.sparkSession, other) is None  # fingerprint guard
+
+
+def test_dedup_against_checkpoint_raises_on_missing(old_new, tmp_path):
+    from pysparkdedup.crosscorpus import dedup_against_checkpoint
+
+    _, new = old_new
+    with pytest.raises(FileNotFoundError):
+        dedup_against_checkpoint(new, str(tmp_path / "nowhere"),
+                                 DedupConfig())
+
+
+def test_recommit_gcs_stale_dim_dirs(old_new, tmp_path):
+    """A second cross_dims commit must GC the first commit's dim dirs along
+    with its data dir (the orphan sweep covers all four dir families)."""
+    import os
+
+    from pysparkdedup.checkpoint import signatures_with_checkpoint
+
+    old, _ = old_new
+    cfg = DedupConfig()
+    path = str(tmp_path / "ckpt")
+    signatures_with_checkpoint(old, cfg, path, cross_dims=True)
+    signatures_with_checkpoint(old, cfg, path, cross_dims=True)
+    names = os.listdir(path)
+    for prefix in ("data-", "exactdim-", "bands-", "bandstats-"):
+        assert sum(n.startswith(prefix) for n in names) == 1, names
+
+
 def test_precomputed_new_sigs_reused(old_new):
     old, new = old_new
     cfg = DedupConfig()

@@ -169,6 +169,45 @@ def test_cross_corpus_no_cartesian(spark, pages_factory):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cross_corpus_warm_path_no_old_side_aggregation(spark,
+                                                        pages_factory,
+                                                        tmp_path):
+    """With the checkpoint's persisted dims (cross_dims=True commit), the
+    dedup_against plan must contain NO aggregation keyed on content_hash or
+    (band_id, band_hash): the exact dim, band projection and bucket stats
+    all come precomputed, so the old side is only ever equi-join probed.
+    The cold path (no dims) must show those aggregations — proving the
+    gate actually distinguishes the two plans."""
+    from tests.conftest import ts
+
+    from pysparkdedup.checkpoint import (
+        SignatureCheckpoint, signatures_with_checkpoint)
+    from pysparkdedup.crosscorpus import dedup_against
+
+    cfg = DedupConfig()
+    old = pages_factory([
+        ("old/a", ts(0), " ".join(f"w{i}" for i in range(30)), "en")])
+    new = pages_factory([
+        ("new/a", ts(1), " ".join(f"v{i}" for i in range(30)), "en")])
+    path = str(tmp_path / "ckpt")
+    old_sigs = signatures_with_checkpoint(old, cfg, path, cross_dims=True)
+    dims = SignatureCheckpoint(path).load_cross_dims(spark, cfg)
+
+    def agg_blocks(df):
+        blocks = plan_of(df).split("\n\n")
+        return [b for b in blocks
+                if b.startswith("(") and "Aggregate" in b.splitlines()[0]]
+
+    cold = agg_blocks(dedup_against(new, old_sigs, cfg))
+    assert any("content_hash" in b and "min" in b for b in cold)
+    assert any("band_hash" in b for b in cold)
+
+    warm = agg_blocks(dedup_against(new, old_sigs, cfg, old_dims=dims))
+    for b in warm:
+        assert "content_hash" not in b, b
+        assert "band_hash" not in b, b
+
+
 def test_keep_first_dedup_dehydrates_lines(spark):
     """dedup_lines_keep_first: only the (id, pos, line) projection may ride
     a shuffle — the caller's other columns (the wide payload in production)
