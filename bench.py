@@ -45,25 +45,31 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
     pages.cache().count()  # isolate scan cost from operator cost
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    def bench(name, fn):
-        # Best-of-2: the sandbox host has ±20-40% co-tenant noise and the
-        # first execution pays one-time JIT/codegen; the second run is the
+    def bench(name, fn, runs=2):
+        # Best-of-N: the sandbox host has ±20-40% co-tenant noise and the
+        # first execution pays one-time JIT/codegen; later runs are the
         # steady-state cost (same methodology as tools/scaling_bench.py —
-        # fresh frames each run, so data-path work is NOT cached across runs).
-        best = None
-        for _ in range(2):
+        # fresh frames each run, so data-path work is NOT cached across
+        # runs). The two clustering queries (historically the noisiest:
+        # simhash_cluster spread 4.15-29.4 s across same-code runs) get
+        # best-of-3. All raw samples ride the JSON so a reader can compute
+        # medians and judge spread, not just the best.
+        times = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            elapsed = time.perf_counter() - t0
-            if best is None or elapsed < best:
-                best = elapsed
-        timings[name] = round(best, 3)
+            times.append(round(time.perf_counter() - t0, 3))
+        samples[name] = times
+        timings[name] = min(times)
 
     bench("exact_pipeline",
           lambda: run_exact(pages, cfg).groupBy("status").count().collect())
-    bench("minhash_cluster", lambda: minhash_clusters(pages, cfg).count())
-    bench("simhash_cluster", lambda: simhash_clusters(pages, cfg).count())
+    bench("minhash_cluster", lambda: minhash_clusters(pages, cfg).count(),
+          runs=3)
+    bench("simhash_cluster", lambda: simhash_clusters(pages, cfg).count(),
+          runs=3)
     # df-cut at 100: the synthetic corpus has a ~31-token vocabulary, so
     # mid-frequency shingles explode the posting self-join quadratically;
     # discriminative power lives in the rare shingles (standard df-cut).
@@ -127,8 +133,100 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
           .groupBy("status").count().collect())
     old_sigs.unpersist()
 
+    # Per-stage breakdown of the two clustering queries (the noisiest):
+    # one extra staged run each, so a driver-side regression can be
+    # localized (signature vs pairs vs verify vs fixpoint) despite the
+    # host's ±20-40% noise. Stage sums exceed the headline best-of-N
+    # (each stage pays its own materialization); the split, not the sum,
+    # is the signal.
+    stages = {
+        "minhash_cluster": _minhash_stage_times(pages, cfg),
+        "simhash_cluster": _simhash_stage_times(pages, cfg),
+    }
+
     pages.unpersist()
-    return timings
+    return timings, samples, stages
+
+
+def _minhash_stage_times(pages, cfg) -> dict[str, float]:
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.components import connected_components
+    from pysparkdedup.minhash import (
+        candidate_pairs, estimate_jaccard, lsh_bands, minhash_signatures)
+
+    st: dict[str, float] = {}
+    t = time.perf_counter()
+
+    def lap(name):
+        nonlocal t
+        now = time.perf_counter()
+        st[name] = round(now - t, 3)
+        t = now
+
+    sigs = minhash_signatures(pages, cfg).select("url", "minhash").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    lap("signature")
+    pairs = candidate_pairs(lsh_bands(sigs, cfg), cfg).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    lap("pairs")
+    edges = estimate_jaccard(pairs, sigs, cfg).filter(
+        F.col("jaccard") >= cfg.jaccard_threshold).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    lap("verify")
+    connected_components(edges.select("a", "b")).count()
+    lap("fixpoint")
+    for df in (sigs, pairs, edges):
+        df.unpersist()
+    return st
+
+
+def _simhash_stage_times(pages, cfg) -> dict[str, float]:
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.components import connected_components
+    from pysparkdedup.pairs import bucket_pairs
+    from pysparkdedup.simhash import simhash_blocks, simhash_signatures
+
+    st: dict[str, float] = {}
+    t = time.perf_counter()
+
+    def lap(name):
+        nonlocal t
+        now = time.perf_counter()
+        st[name] = round(now - t, 3)
+        t = now
+
+    sigs = simhash_signatures(pages).select("url", "simhash").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    lap("signature")
+    pairs = bucket_pairs(
+        simhash_blocks(sigs, cfg), ["block_id", "block_val"], id_col="url",
+        cap=cfg.max_bucket_size).dropDuplicates(["a", "b"]).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    lap("pairs")
+    sa = sigs.select(F.col("url").alias("a"), F.col("simhash").alias("_ha"))
+    sb = sigs.select(F.col("url").alias("b"), F.col("simhash").alias("_hb"))
+    edges = (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= cfg.hamming_threshold)
+        .select("a", "b").persist(StorageLevel.MEMORY_AND_DISK))
+    edges.count()
+    lap("verify")
+    connected_components(edges).count()
+    lap("fixpoint")
+    for df in (sigs, pairs, edges):
+        df.unpersist()
+    return st
 
 
 def main() -> None:
@@ -141,7 +239,7 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        timings = run_benchmarks(spark, sf_dir)
+        timings, samples, stages = run_benchmarks(spark, sf_dir)
     finally:
         spark.stop()
 
@@ -151,6 +249,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": samples,
+        "stages": stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
     }
