@@ -1202,15 +1202,13 @@ def _emb_bucket_ctes(n_tables: int, n_bits: int, seed: int = 42) -> str:
     trick as the minhash permutation oracle. Ends with table
     ``ebuckets(vec_id, table_id, bucket)``.
 
-    Float caveat (advice r3): "bit-exact" holds for the PLANE ENTRIES, not
-    the dot reduction — SUM(val*sign) here uses DuckDB's unspecified
-    reduction order while the engine uses a numpy matmul (pairwise
-    summation), so a projection whose true dot is within ~1e-12 of zero
-    could round to opposite signs and flip one bucket bit. The synthetic
-    embeddings' projections sit far from zero (checked at sf0.01/sf0.1);
-    a tie would surface as an honest hash mismatch, not silent corruption.
-    cosine_pairs_exact pins a left-fold instead because its FLOAT OUTPUT is
-    hash-compared; bucket ids are integers, so only the sign matters here."""
+    The dot reduction is a PINNED left fold on BOTH sides (r4 advice
+    closed): the engine accumulates dims 0..d-1 sequentially (vectorized
+    across the batch, similarity.hyperplane_buckets) and this replay folds
+    the same order via list_reduce((acc, v) -> acc + v) over the
+    per-element products — identical IEEE-754 double operation sequences,
+    so even a projection arbitrarily close to zero gets the same sign in
+    both engines. (cosine_pairs_exact pins its fold the same way.)"""
     from pysparkdedup.similarity import _PLANE_M, plane_coeffs
 
     a, b = plane_coeffs(n_tables, n_bits, seed)
@@ -1218,17 +1216,15 @@ def _emb_bucket_ctes(n_tables: int, n_bits: int, seed: int = 42) -> str:
         f"({t},{j},{int(a[t, j])},{int(b[t, j])})"
         for t in range(n_tables) for j in range(n_bits))
     return f"""
-        ev AS (
-            SELECT vec_id, unnest(embedding)::DOUBLE AS val,
-                   generate_subscripts(embedding, 1) AS d
-            FROM embeddings
-        ), eproj AS (
-            SELECT ev.vec_id, p.t, p.j,
-                   SUM(ev.val * (CASE WHEN ((p.pa * ev.d + p.pb)
-                                            % {_PLANE_M}) % 2 = 0
-                                 THEN 1 ELSE -1 END)) AS dot
-            FROM ev, (VALUES {rows}) AS p(t, j, pa, pb)
-            GROUP BY 1, 2, 3
+        eproj AS (
+            SELECT e.vec_id, p.t, p.j,
+                   list_reduce(
+                       list_transform(e.embedding, (x, d) ->
+                           x::DOUBLE * (CASE WHEN ((p.pa * d + p.pb)
+                                                   % {_PLANE_M}) % 2 = 0
+                                        THEN 1 ELSE -1 END)),
+                       (acc, v) -> acc + v) AS dot
+            FROM embeddings e, (VALUES {rows}) AS p(t, j, pa, pb)
         ), ebuckets AS (
             SELECT vec_id, t::INTEGER AS table_id,
                    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j)

@@ -174,7 +174,18 @@ def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
             frames = []
             weights = (1 << np.arange(n_bits)).astype(np.int64)
             for t in range(n_tables):
-                signs = (mat @ planes[t]) > 0  # (batch, n_bits)
+                # Ordered LEFT-FOLD over dims (d = 0..dim-1), vectorized
+                # across the batch: bit-identical to the oracle's
+                # list_reduce((acc, v) -> acc + v) replay, unlike a BLAS
+                # matmul whose pairwise-summation order is unspecified and
+                # could flip the sign of a projection within ~1e-12 of
+                # zero. Cost stays O(dim) fused numpy ops per table —
+                # signature generation is not the candidate-join hot path.
+                proj = np.zeros((mat.shape[0], n_bits), dtype=np.float64)
+                pt = planes[t]
+                for dmi in range(mat.shape[1]):
+                    proj += mat[:, dmi, None] * pt[dmi]
+                signs = proj > 0  # (batch, n_bits)
                 bucket = (signs.astype(np.int64) * weights).sum(axis=1)
                 frames.append(pd.DataFrame(
                     {"_id": ids, "table_id": t, "bucket": bucket}))
