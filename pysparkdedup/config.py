@@ -47,6 +47,10 @@ class DedupConfig:
     # --- guards (ref deduplicate.py:270-359, cli.py:439-464) -------------
     size_threshold: int = DEFAULT_SIZE_THRESHOLD  # -1 disables
     content_threshold: int = DEFAULT_CONTENT_THRESHOLD  # -1 disables
+    max_eviction_group: int = 5000  # guard-failing clusters above this are
+    # SKIP-accounted whole (guard_skip_kind set, nothing evicted, nothing
+    # truncated — guards.MAX_EVICTION_GROUP), bounding the O(m^2) pairwise
+    # diff; mirrors the reference's set-level short-circuit posture
 
     # --- selection (ref strategy.py:196-273) ------------------------------
     strategies: tuple[str, ...] = ("select-newest",)

@@ -207,9 +207,14 @@ def pair_diff_lengths(df: DataFrame, cfg: DedupConfig,
 
 
 def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
-                 max_eviction_group: int = MAX_EVICTION_GROUP) -> DataFrame:
+                 max_eviction_group: int | None = None) -> DataFrame:
     """Annotate rows with ``evicted`` (bool) and ``guard_skip_kind``
     ('size' | 'content' | null = whole-set skip).
+
+    ``max_eviction_group`` defaults to ``cfg.max_eviction_group``: a
+    guard-failing cluster larger than the bound is skip-accounted WHOLE
+    (every member keeps evicted=False and gets guard_skip_kind — never
+    silently truncated), bounding the pairwise diff at O(bound^2).
 
     Expects columns: url, text, n_bytes, raw_hash, ``key``.
     Only groups failing the linear short-circuit enter the Arrow UDF; the
@@ -219,6 +224,9 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
     leaves the JVM. The group-stats join lives only inside the verdicts
     branch; the returned spine is just ``df ⋈(url) verdicts``.
     """
+    if max_eviction_group is None:
+        max_eviction_group = getattr(
+            cfg, "max_eviction_group", MAX_EVICTION_GROUP)
     st, ct = cfg.size_threshold, cfg.content_threshold
     if st < 0 and ct < 0:
         return df.withColumn("evicted", F.lit(False)).withColumn(

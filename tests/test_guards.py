@@ -86,6 +86,72 @@ def test_content_threshold_eviction(pages_factory):
     assert st["u/c"] == "selected"
 
 
+def test_oversized_offender_cluster_skips_whole_not_truncates(pages_factory):
+    """A guard-FAILING cluster larger than max_eviction_group must be
+    skip-accounted whole: every member evicted=False + guard_skip_kind set
+    ('size' when the spread breached, 'content' otherwise) — never a
+    truncated/partial eviction."""
+    from pysparkdedup.guards import apply_guards
+    from pysparkdedup.normalize import raw_text_hash
+    from pyspark.sql import functions as F
+
+    def guarded(rows, cfg):
+        df = pages_factory(rows).select(
+            "url", "text",
+            F.length("text").alias("n_bytes"),
+            raw_text_hash(F.col("text")).alias("raw_hash"),
+            F.lit("k").alias("cluster_key"),
+        )
+        return {r["url"]: r.asDict()
+                for r in apply_guards(df, cfg).collect()}
+
+    # size-offending: one bloated member in a 12-doc cluster, bound 8
+    rows = [(f"u/{i:02d}", ts(i), "same body text", "en") for i in range(11)]
+    rows.append(("u/bloat", ts(11), "same body" + " " * 3000, "en"))
+    cfg = DedupConfig(strategies=("select-newest",), max_eviction_group=8)
+    got = guarded(rows, cfg)
+    assert len(got) == 12
+    assert all(not v["evicted"] for v in got.values())
+    assert {v["guard_skip_kind"] for v in got.values()} == {"size"}
+
+    # content-only offense (sizes equal, texts differ) -> kind 'content'
+    rows = [(f"u/{i:02d}", ts(i), f"l{i % 2}\n" + "x" * 100, "en")
+            for i in range(12)]
+    cfg = DedupConfig(strategies=("select-newest",), size_threshold=-1,
+                      content_threshold=0, max_eviction_group=8)
+    got = guarded(rows, cfg)
+    assert all(not v["evicted"] for v in got.values())
+    assert {v["guard_skip_kind"] for v in got.values()} == {"content"}
+
+    # same offending cluster UNDER the bound: eviction actually runs
+    cfg = DedupConfig(strategies=("select-newest",), size_threshold=-1,
+                      content_threshold=0, max_eviction_group=100)
+    got = guarded(rows, cfg)
+    assert any(v["evicted"] for v in got.values())
+
+
+def test_oversized_offender_cluster_stats_invariants(pages_factory):
+    """The whole pipeline over a planted oversized offender cluster: all
+    members labeled 'skipped', set_outcome 'skipped_size', and the 15
+    global stats invariants hold (skip accounting adds up)."""
+    from pysparkdedup.stats import check_stats, compute_stats
+
+    rows = [(f"u/{i:02d}", ts(i), "same body text", "en") for i in range(11)]
+    # whitespace bloat: identical normalized hash (same cluster), huge size
+    rows.append(("u/bloat", ts(11), "same body" + " " * 3000 + " text", "en"))
+    rows.append(("u/solo", ts(20), "an unrelated unique document", "en"))
+    cfg = DedupConfig(strategies=("select-newest",), max_eviction_group=8)
+    final = run_exact(pages_factory(rows), cfg)
+    st = by_status(final)
+    assert st["u/solo"] == "unique"
+    assert all(st[u] == "skipped" for u in st if u != "u/solo")
+    kinds = {r["set_outcome"]
+             for r in final.filter(F.col("set_rep")
+                                   & (F.col("status") == "skipped")).collect()}
+    assert kinds == {"skipped_size"}
+    check_stats(compute_stats(final))
+
+
 def test_singleton_never_enters_guards(pages_factory):
     rows = [("u/solo", ts(0), "alone text", "en")]
     cfg = DedupConfig(strategies=("select-newest",))
