@@ -15,6 +15,14 @@ Headline queries exercise the engine's hot paths end to end:
                      rounds' totals cover the first 7 queries only)
   cross_corpus     — incremental-crawl dedup: new half vs old half's
                      precomputed signatures (added round 4)
+  cross_corpus_warm— same, with the old side's exact/band/stats dims also
+                     precomputed (the cross_dims checkpoint path; added
+                     round 5 — totals before r5 exclude it)
+
+The JSON also carries "runs" (every raw sample per query — medians and
+spread are computable downstream) and "stages" (per-stage breakdown of the
+two clustering queries: signature/pairs/verify/fixpoint) so a driver-side
+regression can be localized despite host noise.
 """
 
 from __future__ import annotations
@@ -131,6 +139,29 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
     bench("cross_corpus",
           lambda: dedup_against(new_half, old_sigs, cfg)
           .groupBy("status").count().collect())
+
+    # Warm incremental path (added round 5): the old side's exact dim, band
+    # projection and bucket stats come precomputed — what a
+    # cross_dims=True checkpoint commit persists — so the timed job does
+    # zero old-side aggregations. The delta vs cross_corpus is the
+    # per-run cost the persisted dims remove.
+    from pysparkdedup.minhash import lsh_bands
+
+    old_dims = {
+        "exact_dim": old_sigs.groupBy("content_hash").agg(
+            F.min("url").alias("url")),
+        "bands": lsh_bands(old_sigs, cfg),
+        "band_stats": lsh_bands(old_sigs, cfg)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("url").alias("rep_url")),
+    }
+    for df in old_dims.values():
+        df.cache().count()
+    bench("cross_corpus_warm",
+          lambda: dedup_against(new_half, old_sigs, cfg, old_dims=old_dims)
+          .groupBy("status").count().collect())
+    for df in old_dims.values():
+        df.unpersist()
     old_sigs.unpersist()
 
     # Per-stage breakdown of the two clustering queries (the noisiest):

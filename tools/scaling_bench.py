@@ -18,15 +18,19 @@ Methodology:
 - output equality across levels (count + crc of (url, status)) doubles as the
   determinism-under-parallelism check (ref tests/test_cli.py:127-160).
 
-The job is the flagship near-dup pipeline: MinHash signatures -> LSH bands ->
-skew-aware candidate pairs -> Jaccard verify -> union-find components ->
-content-hash pipeline tail (guards + strategy cascade + labeling).
+Jobs (5th positional arg, default ``neardup``):
+- ``neardup``: the flagship near-dup pipeline — MinHash signatures -> LSH
+  bands -> skew-aware candidate pairs -> Jaccard verify -> union-find
+  components -> content-hash pipeline tail (guards + cascade + labeling).
+- ``curate``: the training-data curation pass (curate.curate_pages) —
+  Gopher repetition filter -> CCNet boilerplate removal -> Dolma keep-first
+  paragraph dedup -> PII redaction; crc over (url, curated text).
 
-Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [runs]
-Writes bench_scaling.json and prints a markdown row for BASELINE.md.
-``runs`` (default 3) = timed repetitions per level, best-of-N; 2 is enough
-at multi-M-doc corpus sizes where a run is minutes long and co-tenant noise
-averages out within the run.
+Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [runs] [job]
+Writes bench_scaling.json (neardup) / bench_scaling_curate.json (curate)
+and prints a markdown row for BASELINE.md. ``runs`` (default 3) = timed
+repetitions per level, best-of-N; 2 is enough at multi-M-doc corpus sizes
+where a run is minutes long and co-tenant noise averages out within the run.
 """
 
 from __future__ import annotations
@@ -60,7 +64,7 @@ def build_input(n: int) -> None:
     spark.stop()
 
 
-def _job(spark, path: str):
+def _job_neardup(spark, path: str):
     from pyspark.sql import functions as F
 
     from pysparkdedup.config import DedupConfig
@@ -80,9 +84,32 @@ def _job(spark, path: str):
     return int(row["n"]), int(row["crc"])
 
 
-def worker(cpus: int, runs: int = 3) -> None:
+def _job_curate(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.curate import curate_pages
+
+    pages = spark.read.parquet(path)
+    out = curate_pages(
+        pages, max_dup_gram_frac=0.3, boilerplate_min_df=20,
+        dedup_paragraphs=True, redact=True, line_mode="chunk")
+    row = (
+        out.select("url", "text")
+        .withColumn("line", F.concat_ws(
+            "\x1f", "url", F.sha2(F.coalesce("text", F.lit("")), 256)))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.crc32("line")).alias("crc"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["crc"])
+
+
+JOBS = {"neardup": _job_neardup, "curate": _job_curate}
+
+
+def worker(cpus: int, runs: int = 3, job: str = "neardup") -> None:
     from pysparkdedup.session import get_spark
 
+    run_job = JOBS[job]
     spark = get_spark(
         app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
@@ -93,11 +120,11 @@ def worker(cpus: int, runs: int = 3) -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    _job(spark, WARMUP)  # un-timed warmup: JIT, codegen, python workers
+    run_job(spark, WARMUP)  # un-timed warmup: JIT, codegen, python workers
     best = None
     for _ in range(runs):  # best-of-N: the sandbox host has co-tenant noise
         t0 = time.perf_counter()
-        n, crc = _job(spark, CORPUS)
+        n, crc = run_job(spark, CORPUS)
         elapsed = time.perf_counter() - t0
         if best is None or elapsed < best:
             best = elapsed
@@ -109,12 +136,15 @@ def worker(cpus: int, runs: int = 3) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]),
-               runs=int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+               runs=int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+               job=sys.argv[4] if len(sys.argv) > 4 else "neardup")
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    job = sys.argv[5] if len(sys.argv) > 5 else "neardup"
+    assert job in JOBS, f"unknown job {job!r}"
 
     print(f"generating corpus n={n} -> {CORPUS}")
     build_input(n)
@@ -123,7 +153,7 @@ def main() -> None:
     for cpus in (low, high):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
-             str(cpus), str(runs)],
+             str(cpus), str(runs), job],
             capture_output=True, text=True, cwd=REPO, check=False)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
@@ -135,6 +165,7 @@ def main() -> None:
     t_low, t_high = results[low]["seconds"], results[high]["seconds"]
     ratio = high // low
     out = {
+        "job": job,
         "n_docs": n,
         "low_cpus": low,
         "high_cpus": high,
@@ -147,7 +178,9 @@ def main() -> None:
             and results[low]["crc"] == results[high]["crc"]
         ),
     }
-    with open(os.path.join(REPO, "bench_scaling.json"), "w") as fh:
+    out_name = ("bench_scaling.json" if job == "neardup"
+                else f"bench_scaling_{job}.json")
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
     shutil.rmtree(CORPUS, ignore_errors=True)
