@@ -46,10 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "mail_box.py:353-397)")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "minhash", "simhash", "hash-only",
-                            "curate"],
+                            "curate", "dedup-against"],
                    help="grouping mode (hash-only prints signatures and "
                         "exits, ref cli.py:656-674; curate runs the "
-                        "training-data filter pass and writes --output)")
+                        "training-data filter pass and writes --output; "
+                        "dedup-against flags --input as a NEW batch vs the "
+                        "--checkpoint old corpus and writes the verdicts)")
+    p.add_argument("--cross-dims", action="store_true",
+                   help="hash-only + --checkpoint: also persist the "
+                        "old-side exact/band/stats dims so later "
+                        "--mode dedup-against runs do zero old-side "
+                        "aggregations (warm incremental path)")
     p.add_argument("--max-dup-gram-frac", type=float, default=None,
                    help="curate: drop docs whose duplicate-2-gram char "
                         "fraction exceeds this (Gopher-style)")
@@ -234,8 +241,38 @@ def main(argv: list[str] | None = None) -> int:
             if args.checkpoint:
                 from .checkpoint import SignatureCheckpoint
 
-                SignatureCheckpoint(args.checkpoint).commit(sigs, cfg)
+                SignatureCheckpoint(args.checkpoint).commit(
+                    sigs, cfg, cross_dims=args.cross_dims)
             sigs.show(20, truncate=60)
+            return 0
+
+        if args.mode == "dedup-against":
+            # Incremental-crawl verb: --input is the NEW batch; the old
+            # corpus is the --checkpoint's committed signature snapshot
+            # (plus its persisted cross dims when the commit carried
+            # --cross-dims — the zero-old-side-shuffle warm path).
+            if not args.checkpoint:
+                parser.error("--mode dedup-against requires --checkpoint")
+            if not args.output:
+                parser.error("--mode dedup-against requires --output")
+            from pyspark.sql import functions as F
+
+            from .crosscorpus import dedup_against_checkpoint
+
+            flagged = dedup_against_checkpoint(pages, args.checkpoint, cfg)
+            flagged.write.mode("overwrite").parquet(args.output)
+            counts = {
+                r["status"]: r["n"]
+                for r in spark.read.parquet(args.output)
+                .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(json.dumps({
+                "NEW_DOCS": sum(counts.values()),
+                "EXACT_DUP": counts.get("exact_dup", 0),
+                "NEAR_DUP": counts.get("near_dup", 0),
+                "UNIQUE": counts.get("unique", 0),
+            }, indent=2))
             return 0
 
         if args.checkpoint and args.mode in ("exact", "minhash", "simhash"):

@@ -182,6 +182,39 @@ def test_precomputed_new_sigs_reused(old_new):
 
 
 @pytest.mark.slow
+def test_cli_dedup_against_end_to_end(old_new, tmp_path, spark, capsys):
+    """hash-only --cross-dims commit, then --mode dedup-against on the new
+    batch: verdict parquet written, summary counts printed."""
+    import json
+
+    from pysparkdedup.cli import main
+
+    old, new = old_new
+    ckpt = str(tmp_path / "ckpt")
+    new_in = str(tmp_path / "new")
+    out = str(tmp_path / "flags")
+    old_in = str(tmp_path / "old")
+    old.write.parquet(old_in)
+    new.write.parquet(new_in)
+
+    rc = main(["--input", old_in, "--mode", "hash-only",
+               "--checkpoint", ckpt, "--cross-dims", "--master", "local[4]"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--input", new_in, "--mode", "dedup-against",
+               "--checkpoint", ckpt, "--output", out,
+               "--master", "local[4]"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats == {"NEW_DOCS": 3, "EXACT_DUP": 1, "NEAR_DUP": 1,
+                     "UNIQUE": 1}
+    got = {r["url"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert got == {"new/exact": "exact_dup", "new/near": "near_dup",
+                   "new/fresh": "unique"}
+
+
+@pytest.mark.slow
 def test_cross_corpus_recall_on_corpus(spark):
     """A new doc sharing a claimed-kind true cluster with >= 1 old doc must
     be flagged (exact_dup or near_dup) — the cross-corpus analog of the
