@@ -868,6 +868,27 @@ def _q_curation_pass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("text").alias("curated_text"))
 
 
+def _q_tiered_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE tiered dedup (tiers.py) — the full exact -> MinHash-near ->
+    embedding-semantic cascade as one oracled ledger (url, tier, kept_by),
+    each tier restricted to the previous tier's survivors and kept_by
+    chain-resolved to a final 'kept' representative. Fully oracle-checked:
+    DuckDB replays the ws-stripped exact hash groups, the bit-exact minhash
+    signature/banding/verify/union-find pipeline RESTRICTED to exact
+    survivors, and the sign-LSH + exact-cosine semantic clusters RESTRICTED
+    to near survivors (doc_id joins embeddings.vec_id 1:1 in the testdata).
+    Same cap caveat as embedding_dup_clusters: the replay walks cold
+    buckets only and emits loud sentinel rows if any bucket exceeds 256
+    (max is 19 at sf0.01)."""
+    from pysparkdedup.tiers import tiered_dedup
+
+    pages = _docs_as_pages(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return tiered_dedup(
+        pages, DedupConfig(), emb=emb, emb_threshold=0.35,
+        emb_kwargs={"n_tables": 16, "n_bits": 6})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -923,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": _q_pii_redact_docs,
         "pii_summary_docs": _q_pii_summary_docs,
         "curation_pass_docs": _q_curation_pass_docs,
+        "tiered_dedup_docs": _q_tiered_dedup_docs,
     }
 
 
@@ -1472,6 +1494,179 @@ def _emb_dup_clusters_oracle_sql() -> str:
         SELECT 'ORACLE_BUCKET_CAP_EXCEEDED:' || table_id || ':' || bucket
                    AS url,
                'replay-invalid-above-cap' AS cluster_key
+        FROM capviol
+    """
+
+
+def _tiered_oracle_sql() -> str:
+    """DuckDB replay of tiers.tiered_dedup — the three-tier cascade as one
+    nested-CTE pipeline over the SAME shared kernel replays the per-tier
+    oracles use (signatures are per-doc and corpus-independent, so each
+    tier's replay just RESTRICTS the shared CTEs to the previous tier's
+    survivor set, exactly as the engine feeds each tier only survivors):
+
+    - exact: ws-stripped sha256 groups (null/blank keyed by own url),
+      winner = min(url);
+    - near:  the minhash signature CTEs -> banding -> pairwise candidates ->
+      integer jaccard verify -> recursive-CTE union-find, with sigv
+      restricted to exact survivors;
+    - semantic: the sign-LSH bucket CTEs restricted to near survivors ->
+      cold-bucket candidates -> exact-cosine >= 0.35 -> union-find; same
+      cap-overflow sentinel posture as the embedding-clusters oracle.
+
+    kept_by chain resolution replays tiers._resolve: near losers re-point
+    through semantic losers; exact losers through near then semantic."""
+    cfg = DedupConfig()
+    r, b = cfg.lsh_rows, cfg.lsh_bands
+    m = min(k for k in range(cfg.num_perm + 1)
+            if k / cfg.num_perm >= cfg.jaccard_threshold)
+    cos = _DUCK_COSINE.format(x="ea", y="eb")
+    return f"""
+        WITH RECURSIVE {_minhash_sig_ctes()},
+        {_emb_bucket_ctes(16, 6)},
+        docs0 AS (
+            SELECT doc_id::VARCHAR AS url, text FROM documents
+        ),
+        ek AS MATERIALIZED (
+            SELECT url,
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0
+                        THEN url
+                        ELSE sha256(regexp_replace(text, '\\s', '', 'g'))
+                   END AS h
+            FROM docs0
+        ),
+        ew AS ( SELECT h, min(url) AS w FROM ek GROUP BY h ),
+        l_exact AS MATERIALIZED (
+            SELECT ek.url, ew.w AS kept_by
+            FROM ek JOIN ew USING (h) WHERE ek.url <> ew.w
+        ),
+        surv1 AS MATERIALIZED (
+            SELECT url FROM docs0
+            WHERE url NOT IN (SELECT url FROM l_exact)
+        ),
+        sigv AS MATERIALIZED (
+            SELECT url, list(sig ORDER BY pos) AS sig FROM msig
+            WHERE url IN (SELECT url FROM surv1)
+            GROUP BY url
+        ),
+        bands AS MATERIALIZED (
+            SELECT url, i AS band_id, sig[i*{r}+1 : i*{r}+{r}] AS bslice
+            FROM sigv, unnest(generate_series(0, {b - 1})) AS t(i)
+        ),
+        ncand AS MATERIALIZED (
+            SELECT x.url AS a, y.url AS b
+            FROM bands x JOIN bands y
+              ON x.band_id = y.band_id AND x.bslice = y.bslice
+             AND x.url < y.url
+            GROUP BY 1, 2
+        ),
+        nedges AS MATERIALIZED (
+            SELECT c.a, c.b
+            FROM ncand c
+            JOIN sigv sa ON sa.url = c.a
+            JOIN sigv sb ON sb.url = c.b
+            WHERE len(list_filter(generate_series(1, {cfg.num_perm}),
+                                  i -> sa.sig[i] = sb.sig[i])) >= {m}
+        ),
+        nsym AS (
+            SELECT a AS src, b AS dst FROM nedges
+            UNION ALL
+            SELECT b AS src, a AS dst FROM nedges
+        ),
+        nwalk(node, label) AS (
+            SELECT dst, dst FROM nsym
+            UNION
+            SELECT s.dst, w.label FROM nsym s JOIN nwalk w ON s.src = w.node
+        ),
+        nearc AS MATERIALIZED (
+            SELECT node AS url, min(label) AS lbl FROM nwalk GROUP BY node
+        ),
+        nw AS MATERIALIZED ( SELECT lbl, min(url) AS w FROM nearc GROUP BY lbl ),
+        l_near AS MATERIALIZED (
+            SELECT n.url, nw.w AS kept_by
+            FROM nearc n JOIN nw USING (lbl) WHERE n.url <> nw.w
+        ),
+        surv2 AS MATERIALIZED (
+            SELECT url FROM surv1
+            WHERE url NOT IN (SELECT url FROM l_near)
+        ),
+        ebk AS MATERIALIZED (
+            SELECT * FROM ebuckets
+            WHERE vec_id::VARCHAR IN (SELECT url FROM surv2)
+        ),
+        bsizes AS MATERIALIZED (
+            SELECT table_id, bucket, count(*) AS _bsize
+            FROM ebk GROUP BY 1, 2
+        ),
+        coldb AS MATERIALIZED (
+            SELECT table_id, bucket FROM bsizes
+            WHERE _bsize >= 2 AND _bsize <= 256
+        ),
+        capviol AS MATERIALIZED (
+            SELECT table_id, bucket FROM bsizes WHERE _bsize > 256
+        ),
+        scand AS MATERIALIZED (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM coldb
+            JOIN ebk x ON x.table_id = coldb.table_id
+                      AND x.bucket = coldb.bucket
+            JOIN ebk y ON y.table_id = coldb.table_id
+                      AND y.bucket = coldb.bucket
+                      AND x.vec_id < y.vec_id
+            GROUP BY 1, 2
+        ),
+        sedges AS MATERIALIZED (
+            SELECT scand.a, scand.b FROM scand
+            JOIN embeddings ea ON ea.vec_id = scand.a
+            JOIN embeddings eb ON eb.vec_id = scand.b
+            WHERE {cos} >= 0.35
+        ),
+        ssym AS (
+            SELECT a::VARCHAR AS src, b::VARCHAR AS dst FROM sedges
+            UNION ALL
+            SELECT b::VARCHAR AS src, a::VARCHAR AS dst FROM sedges
+        ),
+        swalk(node, label) AS (
+            SELECT dst, dst FROM ssym
+            UNION
+            SELECT s.dst, w.label FROM ssym s JOIN swalk w ON s.src = w.node
+        ),
+        semc AS MATERIALIZED (
+            SELECT node AS url, min(label) AS lbl FROM swalk GROUP BY node
+        ),
+        sw AS MATERIALIZED ( SELECT lbl, min(url) AS w FROM semc GROUP BY lbl ),
+        l_sem AS MATERIALIZED (
+            SELECT c.url, sw.w AS kept_by
+            FROM semc c JOIN sw USING (lbl) WHERE c.url <> sw.w
+        ),
+        l_near_f AS MATERIALIZED (
+            SELECT l.url, coalesce(s.kept_by, l.kept_by) AS kept_by
+            FROM l_near l LEFT JOIN l_sem s ON s.url = l.kept_by
+        ),
+        l_exact_n AS MATERIALIZED (
+            SELECT l.url, coalesce(n.kept_by, l.kept_by) AS kept_by
+            FROM l_exact l LEFT JOIN l_near n ON n.url = l.kept_by
+        ),
+        l_exact_f AS MATERIALIZED (
+            SELECT l.url, coalesce(s.kept_by, l.kept_by) AS kept_by
+            FROM l_exact_n l LEFT JOIN l_sem s ON s.url = l.kept_by
+        ),
+        ledger AS MATERIALIZED (
+            SELECT url, 'exact' AS tier, kept_by FROM l_exact_f
+            UNION ALL
+            SELECT url, 'near' AS tier, kept_by FROM l_near_f
+            UNION ALL
+            SELECT url, 'semantic' AS tier, kept_by FROM l_sem
+        )
+        SELECT url, tier, kept_by FROM ledger
+        UNION ALL
+        SELECT url, 'kept' AS tier, url AS kept_by FROM docs0
+        WHERE url NOT IN (SELECT url FROM ledger)
+        UNION ALL
+        SELECT 'ORACLE_BUCKET_CAP_EXCEEDED:' || table_id || ':' || bucket
+                   AS url,
+               'replay-invalid-above-cap' AS tier,
+               '' AS kept_by
         FROM capviol
     """
 
@@ -2234,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": _pii_redact_oracle_sql(),
         "pii_summary_docs": _pii_summary_oracle_sql(),
         "curation_pass_docs": _curation_pass_oracle_sql(),
+        "tiered_dedup_docs": _tiered_oracle_sql(),
         "gopher_rules_docs": _gopher_rules_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),

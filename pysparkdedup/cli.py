@@ -46,12 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "mail_box.py:353-397)")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "minhash", "simhash", "hash-only",
-                            "curate", "dedup-against"],
+                            "curate", "dedup-against", "tiered"],
                    help="grouping mode (hash-only prints signatures and "
                         "exits, ref cli.py:656-674; curate runs the "
                         "training-data filter pass and writes --output; "
                         "dedup-against flags --input as a NEW batch vs the "
-                        "--checkpoint old corpus and writes the verdicts)")
+                        "--checkpoint old corpus and writes the verdicts; "
+                        "tiered runs the exact->near->semantic cascade and "
+                        "writes the (url, tier, kept_by) ledger)")
+    p.add_argument("--embeddings", default=None,
+                   help="tiered mode: optional (vec_id, embedding) parquet "
+                        "enabling the semantic tier (vec_id matches url)")
+    p.add_argument("--emb-threshold", type=float, default=0.95,
+                   help="tiered mode: cosine cutoff for the semantic tier")
     p.add_argument("--cross-dims", action="store_true",
                    help="hash-only + --checkpoint: also persist the "
                         "old-side exact/band/stats dims so later "
@@ -232,6 +239,22 @@ def main(argv: list[str] | None = None) -> int:
                 "DOCS_IN": pages.count(),
                 "DOCS_OUT": spark.read.parquet(args.output).count(),
             }, indent=2))
+            return 0
+
+        if args.mode == "tiered":
+            if not args.output:
+                parser.error("--mode tiered requires --output")
+            from .tiers import tier_stats, tiered_dedup
+
+            emb = (spark.read.parquet(args.embeddings)
+                   if args.embeddings else None)
+            ledger = tiered_dedup(pages, cfg, emb=emb,
+                                  emb_threshold=args.emb_threshold)
+            ledger.write.mode("overwrite").parquet(args.output)
+            row = tier_stats(
+                spark.read.parquet(args.output)).collect()[0].asDict()
+            print(json.dumps({k.upper(): v for k, v in row.items()},
+                             indent=2))
             return 0
 
         if args.mode == "hash-only":

@@ -1,0 +1,189 @@
+"""Tiered deduplication: exact -> near-dup -> semantic, cheapest first.
+
+The single-verb analog of running the reference's hash dedup and then a
+fuzzy pass by hand (ref deduplicate.py:958-1058 is the exact tier; the
+reference has no fuzzy tiers — they come from the public web-curation
+pipelines: MinHash-LSH near-dup per Lee et al. 2021 "Deduplicating
+Training Data Makes Language Models Better", embedding-cosine semantic
+dedup per Abbas et al. 2023 "SemDeDup"). The tier ORDER is the point:
+each tier is strictly more expensive per surviving row than the last, so
+every tier runs only on the previous tier's survivors — the exact tier's
+groupBy typically removes the bulk of a crawl before a single shingle is
+hashed, and the near tier shrinks the pool again before any embedding
+bucket is built.
+
+Output is a per-document dedup ledger ``(url, tier, kept_by)``:
+
+- ``tier``     -- ``'kept'`` or the tier that dropped the doc
+                  (``'exact' | 'near' | 'semantic'``);
+- ``kept_by``  -- the FINAL surviving representative. Chains are resolved:
+                  if doc A collapses into B at the exact tier and B later
+                  loses to C at the near tier, A's ``kept_by`` is C (and
+                  C's row says ``tier='kept'``). Every ``kept_by`` value
+                  is therefore the url of a ``'kept'`` row — the ledger is
+                  directly usable as a remap table for downstream joins.
+
+Every winner pick is ``min(url)`` (lexicographic, matching the
+deterministic-ordering contract of strategy.py and components.py's
+min-label clusters), so the ledger is byte-identical across parallelism
+levels.
+
+Scale notes (100 TB):
+- The exact tier is one hash groupBy + a hash-keyed join-back; empty/null
+  texts are keyed by their own url (the sha2('') skew bomb — same guard as
+  exact.with_cluster_key).
+- The near tier reuses minhash_clusters wholesale: L2-blocked numpy
+  signatures, skew-capped band buckets, double-step union-find — its
+  input is only the exact survivors (for web crawls routinely a small
+  fraction of the input).
+- The semantic tier reuses embedding_dup_clusters (sign-LSH buckets,
+  capped, exact-cosine verify) over an id-keyed equi-join of the
+  embedding table with the remaining survivors — the embedding payload
+  never rides a shuffle wider than that join.
+- Chain resolution joins loser maps to loser maps — slim (url, winner)
+  string pairs, never the text payload. No windows, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+
+TIER_EXACT = "exact"
+TIER_NEAR = "near"
+TIER_SEMANTIC = "semantic"
+TIER_KEPT = "kept"
+
+
+def _exact_losers(pages: DataFrame, cfg: DedupConfig, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(url, kept_by) for every doc that loses its exact-hash group.
+
+    Key = whitespace-stripped sha2 of the text (the normalized body hash,
+    ref mail.py:409-439 via normalize.py); null/blank docs key on their own
+    url so they are unconditional singletons (and sha2('') never becomes a
+    mega-group)."""
+    text = F.col(text_col)
+    key = F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.col(id_col)
+    ).otherwise(F.sha2(F.regexp_replace(text, r"\s", ""), 256))
+    hashed = pages.select(F.col(id_col).alias("url"), key.alias("h"))
+    winners = hashed.groupBy("h").agg(F.min("url").alias("kept_by"))
+    return (
+        hashed.join(winners, "h")
+        .filter(F.col("url") != F.col("kept_by"))
+        .select("url", "kept_by")
+    )
+
+
+def _cluster_losers(clusters: DataFrame) -> DataFrame:
+    """(url, kept_by) from a (url, cluster_key) cluster frame: the winner is
+    min(url) per cluster, everyone else loses to it. Two-phase agg +
+    join-back on the cluster key — no window."""
+    winners = clusters.groupBy("cluster_key").agg(
+        F.min("url").alias("kept_by"))
+    return (
+        clusters.join(winners, "cluster_key")
+        .filter(F.col("url") != F.col("kept_by"))
+        .select("url", "kept_by")
+    )
+
+
+def _resolve(losers: DataFrame, later: DataFrame) -> DataFrame:
+    """Re-point a loser map through a LATER tier's loser map: if my winner
+    itself lost later, inherit its final winner. Left join on the winner
+    url — loser-map-to-loser-map, slim string pairs."""
+    lat = later.select(F.col("url").alias("_w"),
+                       F.col("kept_by").alias("_final"))
+    return (
+        losers.join(lat, losers["kept_by"] == lat["_w"], "left")
+        .select("url", F.coalesce("_final", "kept_by").alias("kept_by"))
+    )
+
+
+def tiered_dedup(
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    emb: DataFrame | None = None,
+    *,
+    emb_threshold: float = 0.95,
+    emb_kwargs: dict | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+) -> DataFrame:
+    """Run the tier cascade over ``pages``; returns the dedup ledger
+    ``(url, tier, kept_by)`` with one row per input document.
+
+    - exact tier: always on;
+    - near tier:  always on (MinHash-LSH per ``cfg``);
+    - semantic tier: on iff ``emb`` is given — a ``(vec_id, embedding)``
+      frame joined to survivors on ``vec_id == url`` (cast to string);
+      ``vec_id`` must be integral (the similarity stack's Arrow batch
+      schema is long-typed); ``emb_threshold``/``emb_kwargs`` feed
+      embedding_dup_clusters.
+    """
+    from .minhash import minhash_clusters
+
+    cfg = cfg or DedupConfig()
+
+    base = pages.select(F.col(id_col).alias("url"), F.col(text_col),
+                        *[c for c in pages.columns
+                          if c not in (id_col, text_col)])
+
+    # Tier 1: exact. Losers leave the pool before any shingle is hashed.
+    l_exact = _exact_losers(pages, cfg, id_col, text_col)
+    surv1 = base.join(l_exact.select("url"), "url", "left_anti")
+
+    # Tier 2: near-dup over exact survivors only.
+    near_clusters = minhash_clusters(surv1, cfg)
+    l_near = _cluster_losers(near_clusters)
+    surv2 = surv1.join(l_near.select("url"), "url", "left_anti")
+
+    # Tier 3: semantic over what's left, if embeddings are available.
+    if emb is not None:
+        from .similarity import embedding_dup_clusters
+
+        sub = emb.withColumn("url", F.col(emb_id_col).cast("string")).join(
+            surv2.select("url"), "url").drop("url")
+        sem_clusters = embedding_dup_clusters(
+            sub, emb_threshold, id_col=emb_id_col, **(emb_kwargs or {}))
+        l_sem = _cluster_losers(sem_clusters)
+    else:
+        l_sem = pages.sparkSession.createDataFrame(
+            [], "url string, kept_by string")
+
+    # Chain resolution, latest tier first: near losers may point at a
+    # semantic loser; exact losers at a near OR semantic loser.
+    l_near_f = _resolve(l_near, l_sem)
+    l_exact_f = _resolve(_resolve(l_exact, l_near), l_sem)
+
+    ledger = (
+        l_exact_f.select("url", F.lit(TIER_EXACT).alias("tier"), "kept_by")
+        .unionByName(l_near_f.select(
+            "url", F.lit(TIER_NEAR).alias("tier"), "kept_by"))
+        .unionByName(l_sem.select(
+            "url", F.lit(TIER_SEMANTIC).alias("tier"), "kept_by"))
+    )
+    kept = (
+        base.select("url").join(ledger.select("url"), "url", "left_anti")
+        .select("url", F.lit(TIER_KEPT).alias("tier"),
+                F.col("url").alias("kept_by"))
+    )
+    return ledger.unionByName(kept)
+
+
+def tier_stats(ledger: DataFrame) -> DataFrame:
+    """One row of cascade accounting: docs in, dropped per tier, kept —
+    a single partial-aggregating groupBy pivoted in the driver plan (4
+    first-class columns, no driver-side collect of data rows)."""
+    return ledger.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("tier") == TIER_EXACT).cast("long")).alias("n_exact"),
+        F.sum((F.col("tier") == TIER_NEAR).cast("long")).alias("n_near"),
+        F.sum((F.col("tier") == TIER_SEMANTIC).cast("long"))
+        .alias("n_semantic"),
+        F.sum((F.col("tier") == TIER_KEPT).cast("long")).alias("n_kept"),
+    )
