@@ -18,6 +18,8 @@ Headline queries exercise the engine's hot paths end to end:
   cross_corpus_warm— same, with the old side's exact/band/stats dims also
                      precomputed (the cross_dims checkpoint path; added
                      round 5 — totals before r5 exclude it)
+  tiered_dedup     — exact -> near -> semantic cascade ledger over
+                     documents + embeddings (added round 5)
 
 The JSON also carries "runs" (every raw sample per query — medians and
 spread are computable downstream) and "stages" (per-stage breakdown of the
@@ -125,6 +127,18 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
             F.sum(F.col("contaminated").cast("int"))).collect()
 
     bench("curation_pass", curation)
+
+    # Tiered dedup cascade (added round 5): exact -> MinHash-near ->
+    # embedding-semantic, each tier over the previous tier's survivors;
+    # the full ledger materialized. Semantic tier joins the embeddings
+    # table on vec_id == url.
+    from pysparkdedup.tiers import tiered_dedup
+
+    bench("tiered_dedup",
+          lambda: tiered_dedup(
+              pages, cfg, emb=emb, emb_threshold=0.35,
+              emb_kwargs={"n_tables": 16, "n_bits": 6})
+          .groupBy("tier").count().collect())
 
     # Cross-corpus incremental dedup (added round 4): even-url half is the
     # "previous crawl" (signatures computed once, outside the timing — the
