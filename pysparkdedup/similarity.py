@@ -152,9 +152,14 @@ def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
     Planes are hash-deterministic Rademacher projections (``plane_signs``):
     regenerated locally inside each Arrow batch worker from (seed, shape)
     alone — nothing is broadcast, and the DuckDB oracle replays the exact
-    bucket values from the same (a, b) literals."""
+    bucket values from the same (a, b) literals.
+
+    The id column rides through untouched, so it may be integral (the
+    embeddings table's vec_id) or string (e.g. page urls) — the Arrow
+    batch schema mirrors the input type."""
+    id_type = df.schema[id_col].dataType
     schema = T.StructType([
-        T.StructField("_id", T.LongType(), False),
+        T.StructField("_id", id_type, False),
         T.StructField("table_id", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), False),
     ])

@@ -121,8 +121,8 @@ def tiered_dedup(
     - near tier:  always on (MinHash-LSH per ``cfg``);
     - semantic tier: on iff ``emb`` is given — a ``(vec_id, embedding)``
       frame joined to survivors on ``vec_id == url`` (cast to string);
-      ``vec_id`` must be integral (the similarity stack's Arrow batch
-      schema is long-typed); ``emb_threshold``/``emb_kwargs`` feed
+      ``vec_id`` may be integral (the embeddings table) or string (urls
+      directly); ``emb_threshold``/``emb_kwargs`` feed
       embedding_dup_clusters.
     """
     from .minhash import minhash_clusters

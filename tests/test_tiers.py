@@ -137,6 +137,23 @@ def test_deterministic_across_partitionings(spark, tier_pages):
     assert a == b
 
 
+def test_semantic_tier_with_string_vec_ids(spark, pages_factory):
+    # vec_id may be the url itself (hyperplane_buckets mirrors the input
+    # id type in its Arrow schema) — the path the scaling harness uses.
+    pages = pages_factory([
+        ("site/a", ts(0), "first unrelated survivor text body", "en"),
+        ("site/b", ts(1), "second unrelated survivor text body two", "en"),
+    ])
+    emb = spark.createDataFrame(
+        [("site/a", [1.0, 0.0]), ("site/b", [1.0, 0.0])],
+        "vec_id string, embedding array<float>")
+    got = ledger_map(tiered_dedup(
+        pages, DedupConfig(), emb=emb, emb_threshold=0.99,
+        emb_kwargs={"n_tables": 4, "n_bits": 2}))
+    assert got["site/b"] == ("semantic", "site/a")
+    assert got["site/a"] == ("kept", "site/a")
+
+
 def test_cli_tiered_mode(spark, tier_pages, tmp_path, capsys):
     import json
 

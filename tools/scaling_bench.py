@@ -25,6 +25,9 @@ Jobs (5th positional arg, default ``neardup``):
 - ``curate``: the training-data curation pass (curate.curate_pages) —
   Gopher repetition filter -> CCNet boilerplate removal -> Dolma keep-first
   paragraph dedup -> PII redaction; crc over (url, curated text).
+- ``tiered``: the tiered dedup cascade (tiers.tiered_dedup) — exact ->
+  MinHash-near -> embedding-semantic over hash-derived deterministic
+  vectors for a tenth of the corpus; crc over (url, tier, kept_by).
 
 Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [runs] [job]
 Writes bench_scaling.json (neardup) / bench_scaling_curate.json (curate)
@@ -103,7 +106,41 @@ def _job_curate(spark, path: str):
     return int(row["n"]), int(row["crc"])
 
 
-JOBS = {"neardup": _job_neardup, "curate": _job_curate}
+def _job_tiered(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.config import DedupConfig
+    from pysparkdedup.tiers import tiered_dedup
+
+    cfg = DedupConfig()
+    pages = spark.read.parquet(path)
+    # Deterministic synthetic embeddings for a tenth of the corpus (the
+    # docs that carry vectors in a real lakehouse are likewise a subset):
+    # 16 dims derived from xxhash64(url, dim) — parallelism-independent,
+    # so the cascade's crc check still gates determinism end to end.
+    # vec_id is the url itself (hyperplane_buckets supports string ids).
+    emb = (
+        pages.filter(F.crc32("url") % 10 == 0)
+        .select(
+            F.col("url").alias("vec_id"),
+            F.array(*[
+                ((F.xxhash64("url", F.lit(d)) % 1000) / 500.0 - 1.0)
+                .cast("float") for d in range(16)
+            ]).alias("embedding"),
+        )
+    )
+    ledger = tiered_dedup(pages, cfg, emb=emb, emb_threshold=0.95)
+    row = (
+        ledger.withColumn(
+            "line", F.concat_ws("\x1f", "url", "tier", "kept_by"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.crc32("line")).alias("crc"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["crc"])
+
+
+JOBS = {"neardup": _job_neardup, "curate": _job_curate,
+        "tiered": _job_tiered}
 
 
 def worker(cpus: int, runs: int = 3, job: str = "neardup") -> None:
