@@ -113,6 +113,7 @@ def tiered_dedup(
     id_col: str = "url",
     text_col: str = "text",
     emb_id_col: str = "vec_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Run the tier cascade over ``pages``; returns the dedup ledger
     ``(url, tier, kept_by)`` with one row per input document.
@@ -124,22 +125,38 @@ def tiered_dedup(
       ``vec_id`` may be integral (the embeddings table) or string (urls
       directly); ``emb_threshold``/``emb_kwargs`` feed
       embedding_dup_clusters.
+
+    Each tier's slim (url, kept_by) loser map is eagerly materialized
+    (Spark has no DAG-level CSE, and every map feeds three consumers:
+    the next tier's anti-join, the chain resolution, and the ledger —
+    without the checkpoint the exact tier's corpus-wide hash groupBy
+    would re-execute per consumer). ``reliable=True`` uses cluster-durable
+    ``checkpoint()`` instead of executor-local blocks — same tradeoff as
+    components.connected_components. The corpus frame itself is NEVER
+    cached: survivors are re-derived by column-pruned anti-joins against
+    the materialized maps, the right call when the input is 100 TB and
+    the maps are two string columns.
     """
     from .minhash import minhash_clusters
 
     cfg = cfg or DedupConfig()
+
+    def materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     base = pages.select(F.col(id_col).alias("url"), F.col(text_col),
                         *[c for c in pages.columns
                           if c not in (id_col, text_col)])
 
     # Tier 1: exact. Losers leave the pool before any shingle is hashed.
-    l_exact = _exact_losers(pages, cfg, id_col, text_col)
+    l_exact = materialize(_exact_losers(pages, cfg, id_col, text_col))
     surv1 = base.join(l_exact.select("url"), "url", "left_anti")
 
     # Tier 2: near-dup over exact survivors only.
     near_clusters = minhash_clusters(surv1, cfg)
-    l_near = _cluster_losers(near_clusters)
+    l_near = materialize(_cluster_losers(near_clusters))
     surv2 = surv1.join(l_near.select("url"), "url", "left_anti")
 
     # Tier 3: semantic over what's left, if embeddings are available.
@@ -150,7 +167,7 @@ def tiered_dedup(
             surv2.select("url"), "url").drop("url")
         sem_clusters = embedding_dup_clusters(
             sub, emb_threshold, id_col=emb_id_col, **(emb_kwargs or {}))
-        l_sem = _cluster_losers(sem_clusters)
+        l_sem = materialize(_cluster_losers(sem_clusters))
     else:
         l_sem = pages.sparkSession.createDataFrame(
             [], "url string, kept_by string")
