@@ -48,8 +48,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS = "/tmp/scaling_corpus"
-WARMUP = "/tmp/scaling_warmup"
+# Input dirs are keyed by (job, n) via SCALING_DATA_DIR so two harness
+# invocations (or a smoke test sharing this module) can never clobber a
+# measurement in flight; workers inherit the exact path from the
+# orchestrator through the environment.
+_DATA_ROOT = os.environ.get("SCALING_DATA_DIR", "/tmp/scaling_data")
+CORPUS = os.path.join(_DATA_ROOT, "corpus")
+WARMUP = os.path.join(_DATA_ROOT, "warmup")
 
 
 def build_input(n: int) -> None:
@@ -183,17 +188,27 @@ def main() -> None:
     job = sys.argv[5] if len(sys.argv) > 5 else "neardup"
     assert job in JOBS, f"unknown job {job!r}"
 
+    global _DATA_ROOT, CORPUS, WARMUP
+    if "SCALING_DATA_DIR" not in os.environ:
+        _DATA_ROOT = f"/tmp/scaling_data_{job}_{n}"
+        CORPUS = os.path.join(_DATA_ROOT, "corpus")
+        WARMUP = os.path.join(_DATA_ROOT, "warmup")
     print(f"generating corpus n={n} -> {CORPUS}")
     build_input(n)
 
     results = {}
+    env = dict(os.environ, SCALING_DATA_DIR=_DATA_ROOT)
     for cpus in (low, high):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(cpus), str(runs), job],
-            capture_output=True, text=True, cwd=REPO, check=False)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+            capture_output=True, text=True, cwd=REPO, check=False, env=env)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(
+                f"worker local[{cpus}] produced no result (stderr above)")
+        r = json.loads(lines[-1])
         r["docs_per_sec"] = round(n / r["seconds"], 1)
         results[cpus] = r
         print(f"local[{cpus}]: {r['seconds']}s  {r['docs_per_sec']:,} docs/s  "
@@ -220,8 +235,7 @@ def main() -> None:
     with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
-    shutil.rmtree(CORPUS, ignore_errors=True)
-    shutil.rmtree(WARMUP, ignore_errors=True)
+    shutil.rmtree(_DATA_ROOT, ignore_errors=True)
 
 
 if __name__ == "__main__":
