@@ -75,15 +75,22 @@ def curate_pages(
     cur = pages
     if max_dup_gram_frac is not None:
         reps = repetition_stats(cur, n=2, id_col=id_col, text_col=text_col)
-        # Persist the slim (id) verdict dim, NOT the filtered corpus: every
-        # downstream consumer of `cur` re-executes its lineage (Spark has no
-        # DAG-level CSE), and the repetition scan's gram sort is the most
-        # expensive per-doc expression in the pass — measured 4-6x
-        # re-execution before this rewrite. The verdict is two orders of
-        # magnitude smaller than the corpus; the anti-join itself is cheap.
-        bad = track(
-            reps.filter(F.col("dup_gram_frac") > max_dup_gram_frac)
-            .select(id_col).persist(StorageLevel.MEMORY_AND_DISK))
+        # Persist the slim (id, score) frame BEFORE filtering, for two
+        # compounding reasons. (1) No DAG-level CSE: every downstream
+        # consumer of `cur` re-executes its lineage, and the repetition
+        # gram sort + run-length aggregate is the most expensive per-doc
+        # expression in the pass — measured 4-6x re-execution before this
+        # rewrite. (2) Filtering directly on the aggregate-derived column
+        # lets Catalyst inline the whole higher-order expression into the
+        # filter predicate (HOFs are CodegenFallback — interpreted, no
+        # subexpression reuse), measured ~7x the cost of projecting the
+        # same column; the persist boundary forces one evaluation per row
+        # into the cache and the filter then reads materialized values.
+        rep_scores = track(
+            reps.select(id_col, "dup_gram_frac")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        bad = rep_scores.filter(
+            F.col("dup_gram_frac") > max_dup_gram_frac).select(id_col)
         cur = cur.join(bad, id_col, "left_anti")
     if boilerplate_min_df > 0 or dedup_paragraphs:
         # Fused line section. Running drop_boilerplate_lines and
