@@ -189,3 +189,44 @@ def test_cli_curate_end_to_end(spark, pages_factory, tmp_path, capsys):
     assert got["u/1"]["text"].startswith(shared)
     assert "<EMAIL>" in got["u/2"]["text"]
     assert not got["u/2"]["text"].startswith(shared)
+
+
+def test_fused_composition_equals_sequential_stages(spark):
+    """The fused line section (one exploded frame, one rebuild) must be
+    output-identical to chaining the standalone ops — the equivalence
+    argument in curate_pages' comments, pinned on a corpus that exercises
+    every interaction: boilerplate inside and around duplicated
+    paragraphs, intra-doc repeats of a duplicated line, docs that lose
+    nothing, an empty doc, and a repetition-filtered spam doc."""
+    from pysparkdedup.corpus import pages_and_truth
+    from pysparkdedup.pii import redact_pii
+    from pysparkdedup.repetition import (
+        dedup_lines_keep_first, drop_boilerplate_lines, repetition_stats,
+        with_chunk_lines)
+    from pyspark.sql import functions as F
+
+    pages, _ = pages_and_truth(spark, 400)
+
+    got = by_url(curate_pages(
+        pages, max_dup_gram_frac=0.3, boilerplate_min_df=3,
+        dedup_paragraphs=True, redact=True, id_col="url"))
+
+    # Reference: the pre-fusion sequential chain, stage by stage.
+    reps = repetition_stats(pages, n=2, id_col="url", text_col="text")
+    bad = reps.filter(F.col("dup_gram_frac") > 0.3).select("url")
+    cur = pages.join(bad, "url", "left_anti")
+    lines_df = with_chunk_lines(cur, 10, text_col="text").select(
+        "url", "lines")
+    b = drop_boilerplate_lines(lines_df, 3, id_col="url")
+    lines_df = b.select("url", F.col("kept_lines").alias("lines"))
+    p = dedup_lines_keep_first(lines_df, id_col="url")
+    lines_df = p.select("url", F.col("kept_lines").alias("lines"))
+    rebuilt = lines_df.select(
+        "url", F.concat_ws("\n", "lines").alias("text"))
+    want_df = redact_pii(
+        cur.drop("text").join(rebuilt, "url"),
+        text_col="text", out_col="text").select(*pages.columns)
+    want = by_url(want_df)
+
+    assert set(got) == set(want)
+    assert got == want
