@@ -348,6 +348,13 @@ class SignatureCheckpoint:
                 manifest["exact_dim"] = exact_dir
                 manifest["bands"] = bands_dir
                 manifest["band_stats"] = stats_dir
+                # The banding layout is NOT part of signature_fingerprint
+                # (signatures survive a re-banding), but the persisted
+                # bands-*/bandstats-* dims are sliced by it — record it so
+                # load_cross_dims can refuse dims built under a different
+                # (b, r) instead of silently joining mismatched slices.
+                manifest["banding"] = {
+                    "lsh_bands": cfg.lsh_bands, "lsh_rows": cfg.lsh_rows}
                 keep |= {exact_dir, bands_dir, stats_dir}
             if metrics is not None:
                 manifest["metrics"] = metrics.to_dict()
@@ -366,9 +373,15 @@ class SignatureCheckpoint:
     ) -> dict[str, DataFrame] | None:
         """The persisted old-side dims for crosscorpus.dedup_against
         (``exact_dim`` / ``bands`` / ``band_stats`` frames), or None when
-        the checkpoint is absent, fingerprint-mismatched, or was committed
-        without ``cross_dims=True``. Fingerprint-guarded like load(): a
-        banding-config change invalidates the dims with the data."""
+        the checkpoint is absent, fingerprint-mismatched, was committed
+        without ``cross_dims=True``, or was banded under a different
+        (lsh_bands, lsh_rows) layout. The banding guard is separate from
+        the signature fingerprint on purpose: num_perm/seed changes wipe
+        the signatures themselves (fingerprint), but a re-banding (e.g.
+        lsh_bands 16 -> 8 with num_perm fixed) keeps the signatures valid
+        while making the persisted band dims slice-incompatible — joining
+        them would silently report near-dups as unique, so the dims (and
+        only the dims) are refused and the caller re-derives per run."""
         manifest = self.read_manifest()
         if manifest is None:
             return None
@@ -376,6 +389,9 @@ class SignatureCheckpoint:
             return None
         if not all(k in manifest for k in ("exact_dim", "bands",
                                            "band_stats")):
+            return None
+        if manifest.get("banding") != {"lsh_bands": cfg.lsh_bands,
+                                       "lsh_rows": cfg.lsh_rows}:
             return None
         return {
             "exact_dim": spark.read.parquet(
@@ -474,13 +490,15 @@ def signatures_with_checkpoint(
         # The parquet write IS the one materialization of the signature
         # computation; re-reading the committed files gives the caller a
         # durable frame for free (no executor-storage blocks to lose, no
-        # second compute). Source-file lineage comes from the snapshot frame
-        # itself (empty for non-file-backed inputs, e.g. in-memory tests).
-        input_files = [
-            r["f"] for r in pages.select(
-                F.input_file_name().alias("f")).distinct().collect()
-            if r["f"]
-        ]
+        # second compute). Source-file lineage comes from the plan's file
+        # index metadata (DataFrame.inputFiles) — a driver-side listing,
+        # zero Spark jobs, vs the input_file_name().distinct() row scan it
+        # replaces which re-read the whole corpus on every commit. The
+        # listing covers every file of the source relations (including
+        # ones a pushed filter would skip), which is the right lineage
+        # notion: which files FED the snapshot definition. Empty for
+        # non-file-backed inputs (e.g. in-memory tests).
+        input_files = [f for f in pages.inputFiles() if f]
 
         def _metrics() -> ResumeMetrics:
             n_reused = int(obs_hit.get["n"]) if hits is not None else 0

@@ -61,14 +61,18 @@ def _exact_losers(pages: DataFrame, cfg: DedupConfig, id_col: str,
                   text_col: str) -> DataFrame:
     """(url, kept_by) for every doc that loses its exact-hash group.
 
-    Key = whitespace-stripped sha2 of the text (the normalized body hash,
-    ref mail.py:409-439 via normalize.py); null/blank docs key on their own
-    url so they are unconditional singletons (and sha2('') never becomes a
-    mega-group)."""
+    Key = the config-selected content hash (normalize.content_hash_expr —
+    the same raw/normalized/skip dispatch as every other exact path, ref
+    deduplicate.py:164-178), so ``--hash-body raw`` keeps whitespace-only
+    variants distinct here exactly as it does in ``--mode exact``.
+    Null/blank docs key on their own url regardless of mode: they are
+    unconditional singletons (and sha2('') never becomes a mega-group)."""
+    from .normalize import content_hash_expr
+
     text = F.col(text_col)
     key = F.when(
         text.isNull() | (F.length(F.trim(text)) == 0), F.col(id_col)
-    ).otherwise(F.sha2(F.regexp_replace(text, r"\s", ""), 256))
+    ).otherwise(content_hash_expr(cfg, text))
     hashed = pages.select(F.col(id_col).alias("url"), key.alias("h"))
     winners = hashed.groupBy("h").agg(F.min("url").alias("kept_by"))
     return (

@@ -353,3 +353,26 @@ def test_manifest_input_file_lineage(spark, tmp_path, pages_factory):
     files = manifest.get("input_files", [])
     assert files and all("corpus" in f and f.endswith(".parquet")
                          for f in files)
+
+
+def test_input_file_lineage_is_metadata_not_row_scan(spark, tmp_path,
+                                                     pages_factory):
+    """Lineage comes from the plan's file-index metadata (inputFiles), not
+    a corpus row scan: a filter that excludes every row of one source file
+    must still list that file (it FED the snapshot definition), and the
+    listing must cost zero extra corpus-reading jobs at commit time —
+    pinned here by the semantics only the metadata path can give (the old
+    input_file_name().distinct() scan saw post-filter rows and would list
+    only the surviving file)."""
+    cfg = DedupConfig()
+    src_a, src_b = str(tmp_path / "crawl_a"), str(tmp_path / "crawl_b")
+    pages_factory([("a/0", ts(0), "alpha " * 30, "en")]).write.parquet(src_a)
+    pages_factory([("b/0", ts(1), "beta " * 30, "en")]).write.parquet(src_b)
+    pages = spark.read.parquet(src_a).unionByName(spark.read.parquet(src_b))
+    filtered = pages.filter(~F.col("url").startswith("b/"))
+
+    path = str(tmp_path / "ckpt")
+    signatures_with_checkpoint(filtered, cfg, path)
+    files = SignatureCheckpoint(path).read_manifest().get("input_files", [])
+    assert any("crawl_a" in f for f in files)
+    assert any("crawl_b" in f for f in files)  # metadata listing, not rows

@@ -143,6 +143,38 @@ def test_load_cross_dims_absent_without_flag_or_on_mismatch(old_new,
         old.sparkSession, other) is None  # fingerprint guard
 
 
+def test_load_cross_dims_refused_on_rebanding(old_new, tmp_path):
+    """Changing ONLY the banding layout (lsh_bands 16 -> 8, num_perm still
+    divisible) keeps the signature fingerprint — load() must still serve
+    the signatures — but the persisted band dims were sliced under the old
+    (b, r) and MUST be refused: joining them would silently report
+    near-dups as unique. The warm entry point then falls back to per-run
+    derivation and still matches the cold path under the new banding."""
+    from pysparkdedup.checkpoint import (
+        SignatureCheckpoint, signatures_with_checkpoint)
+    from pysparkdedup.crosscorpus import dedup_against_checkpoint
+
+    old, new = old_new
+    cfg = DedupConfig()  # lsh_bands=16
+    path = str(tmp_path / "ckpt")
+    old_sigs = signatures_with_checkpoint(old, cfg, path, cross_dims=True)
+
+    rebanded = DedupConfig(lsh_bands=8)
+    assert rebanded.signature_fingerprint() == cfg.signature_fingerprint()
+    ckpt = SignatureCheckpoint(path)
+    assert ckpt.load(old.sparkSession, rebanded) is not None  # sigs valid
+    assert ckpt.load_cross_dims(old.sparkSession, rebanded) is None
+    # same-banding load still serves the dims
+    assert ckpt.load_cross_dims(old.sparkSession, cfg) is not None
+
+    cold = {r["url"]: r.asDict()
+            for r in dedup_against(new, old_sigs, rebanded).collect()}
+    warm = {r["url"]: r.asDict()
+            for r in dedup_against_checkpoint(new, path, rebanded).collect()}
+    assert warm == cold
+    assert warm["new/near"]["status"] == "near_dup"
+
+
 def test_dedup_against_checkpoint_raises_on_missing(old_new, tmp_path):
     from pysparkdedup.crosscorpus import dedup_against_checkpoint
 

@@ -49,6 +49,25 @@ def test_exact_and_near_tiers(spark, tier_pages):
     assert got["7"] == ("kept", "7")
 
 
+def test_exact_tier_honors_content_hash_mode(spark, pages_factory):
+    """The exact tier keys on normalize.content_hash_expr(cfg), not a
+    hardcoded normalized hash: under --hash-body raw, whitespace-only
+    variants stay distinct at the exact tier (they then collapse or not
+    per the NEAR tier's own semantics), while the default normalized mode
+    collapses them immediately."""
+    pages = pages_factory([
+        ("a", ts(0), "alpha beta gamma", "en"),
+        ("b", ts(1), "alpha  beta  gamma", "en"),  # ws-only variant
+    ])
+    norm = ledger_map(tiered_dedup(pages, DedupConfig()))
+    assert norm["b"] == ("exact", "a")
+    raw = ledger_map(tiered_dedup(
+        pages, DedupConfig(content_hash_mode="raw")))
+    # too short for shingles -> near tier can't pair them either
+    assert raw["a"] == ("kept", "a")
+    assert raw["b"] == ("kept", "b")
+
+
 def test_every_kept_by_is_a_kept_row(spark, tier_pages):
     ledger = tiered_dedup(tier_pages, DedupConfig())
     kept = {r["url"] for r in ledger.filter("tier = 'kept'").collect()}
