@@ -77,12 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="curate: scrub emails/IPs/phones/cards with typed "
                         "placeholders")
     p.add_argument("--line-mode", default="newline",
-                   choices=["newline", "chunk"],
+                   choices=["newline", "chunk", "auto"],
                    help="curate: line unit for the boilerplate/paragraph "
                         "stages — 'newline' splits on real \\n (lossless "
                         "for untouched docs, the right choice for web "
                         "text); 'chunk' uses normalized 10-token "
-                        "pseudo-lines for newline-free corpora")
+                        "pseudo-lines for newline-free corpora; 'auto' "
+                        "picks per document (real lines when the doc "
+                        "contains \\n, pseudo-lines otherwise — safe for "
+                        "mixed crawls). Blank lines are always exempt "
+                        "from both stages")
     p.add_argument("--strategy", action="append", default=[],
                    choices=sorted(ALL_STRATEGY_IDS),
                    help="selection strategy; repeat for a cascade")

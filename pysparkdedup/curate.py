@@ -25,7 +25,20 @@ lose no lines (split + re-join with ``'\\n'`` is an exact inverse, so case
 and layout survive); ``"chunk"`` uses normalized 10-token pseudo-lines
 (lowercased, whitespace-collapsed) for newline-free corpora — same
 convention as the driver-contract line queries, and destructive by design
-(text is rewritten in pseudo-line space).
+(text is rewritten in pseudo-line space); ``"auto"`` picks per document
+(real lines when the doc contains ``'\\n'``, pseudo-lines otherwise), the
+safe default posture for mixed crawls where ``"newline"`` would silently
+exempt newline-free docs from both line stages.
+
+Blank lines (empty or whitespace-only) are structure, not content: both
+line stages pass them through untouched — they never enter the boilerplate
+document-frequency aggregation and never compete in the keep-first winner
+pick, matching the public paragraph-dedup pipelines (Dolma/CCNet skip
+empty/trivial lines). Without the exemption, every blank line in a
+newline-split web corpus is one shared "value" that keep-first dedup
+would collapse corpus-wide, flattening the paragraph structure of
+essentially every multi-paragraph document. Chunk pseudo-lines are never
+blank, so the exemption is a no-op in chunk mode.
 """
 
 from __future__ import annotations
@@ -61,13 +74,19 @@ def curate_pages(
       (Dolma-style);
     - ``redact``             : scrub PII with typed placeholders (pii.py);
     - ``line_mode``          : line unit for the two line stages —
-      ``"newline"`` (real ``'\\n'`` lines; lossless for untouched docs) or
+      ``"newline"`` (real ``'\\n'`` lines; lossless for untouched docs),
       ``"chunk"`` (normalized ``tokens_per_line``-token pseudo-lines for
-      newline-free corpora; rewrites text in pseudo-line space).
+      newline-free corpora; rewrites text in pseudo-line space), or
+      ``"auto"`` (per document: real lines when the doc contains ``'\\n'``,
+      pseudo-lines otherwise — mixed-crawl safe).
+
+    Blank (whitespace-only) lines are exempt from both line stages — see
+    the module docstring.
     """
-    if line_mode not in ("chunk", "newline"):
+    if line_mode not in ("chunk", "newline", "auto"):
         raise ValueError(
-            f"line_mode must be 'chunk' or 'newline', got {line_mode!r}")
+            f"line_mode must be 'chunk', 'newline' or 'auto', "
+            f"got {line_mode!r}")
     from pyspark import StorageLevel
 
     from .cache import track
@@ -105,11 +124,27 @@ def curate_pages(
         # so argmin(id, original_pos) picks the same occurrence as
         # argmin(id, post-filter pos) — id dominates the struct order and
         # pos only breaks ties inside one document.
+        raw_lines = F.split(
+            F.coalesce(F.col(text_col), F.lit("")), "\n")
         if line_mode == "newline":
-            lines_src = cur.select(
+            lines_src = cur.select(F.col(id_col), raw_lines.alias("lines"))
+        elif line_mode == "auto":
+            # Per-doc unit pick. The token array is materialized into a
+            # column first (with_chunk_lines' O(len^2) guard); CaseWhen
+            # evaluates only the taken branch per row, so newline docs
+            # never pay the chunking transform.
+            from .repetition import chunk_lines_expr, tokens_expr
+
+            lines_src = cur.withColumn(
+                "_toks", tokens_expr(text_col)
+            ).select(
                 F.col(id_col),
-                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-                .alias("lines"))
+                F.when(
+                    F.coalesce(F.col(text_col), F.lit("")).contains("\n"),
+                    raw_lines,
+                ).otherwise(
+                    chunk_lines_expr(F.col("_toks"), tokens_per_line)
+                ).alias("lines"))
         else:
             lines_src = with_chunk_lines(
                 cur, tokens_per_line, text_col=text_col).select(
@@ -117,29 +152,41 @@ def curate_pages(
         # Tokenization/chunking runs exactly once into this cache; the
         # rebuild reads the arrays back instead of recomputing them.
         lines_src = track(lines_src.persist(StorageLevel.MEMORY_AND_DISK))
+        # Blank-line exemption: whitespace-only lines are layout, not
+        # dedupable values — they feed neither verdict dim, so their
+        # positions never enter the drop sets and the rebuild keeps them
+        # unconditionally. (Chunk pseudo-lines are never blank.)
         light = track(
             lines_src.select(
                 F.col(id_col), F.posexplode("lines").alias("pos", "line"))
+            .filter(F.col("line").rlike(r"\S"))
             .persist(StorageLevel.MEMORY_AND_DISK))
 
-        bad_per_doc = None
+        # Both stages drop by POSITION: boilerplate removes every
+        # occurrence of a frequent line, and the exploded frame already
+        # knows every occurrence's position, so collecting hit positions
+        # (ints, bounded by the doc's own line count) replaces the former
+        # per-line array_contains scan over a per-doc string array —
+        # O(lines x distinct_bad_lines) per document for template-heavy
+        # docs — with one merged int-set membership test.
+        bad_pos_per_doc = None
         drops_per_doc = None
         surv = light
         if boilerplate_min_df > 0:
             # Same dim as drop_boilerplate_lines: distinct-doc frequency,
             # count-only shuffle state, NOT hint-broadcast (unbounded at web
             # scale — AQE decides). Persisted: it feeds the keep-first
-            # anti-join AND the per-doc hit sets.
+            # anti-join AND the per-doc hit positions.
             boiler = track(
                 light.select(id_col, "line").distinct()
                 .groupBy("line").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") >= boilerplate_min_df).select("line")
                 .persist(StorageLevel.MEMORY_AND_DISK))
             surv = light.join(boiler, "line", "left_anti")
-            bad_per_doc = (
+            bad_pos_per_doc = (
                 light.join(boiler, "line", "inner")
                 .groupBy(id_col)
-                .agg(F.collect_set("line").alias("_bad")))
+                .agg(F.collect_set("pos").alias("_badpos")))
         if dedup_paragraphs:
             # Same winner rule as dedup_lines_keep_first: minimal (id, pos)
             # occurrence of each duplicated boilerplate-surviving line.
@@ -159,24 +206,29 @@ def curate_pages(
                 .agg(F.collect_set("pos").alias("_drop")))
 
         rebuilt = lines_src
-        if bad_per_doc is not None:
-            rebuilt = rebuilt.join(bad_per_doc, id_col, "left")
+        if bad_pos_per_doc is not None:
+            rebuilt = rebuilt.join(bad_pos_per_doc, id_col, "left")
         else:
             rebuilt = rebuilt.withColumn(
-                "_bad", F.lit(None).cast("array<string>"))
+                "_badpos", F.lit(None).cast("array<int>"))
         if drops_per_doc is not None:
             rebuilt = rebuilt.join(drops_per_doc, id_col, "left")
         else:
             rebuilt = rebuilt.withColumn(
                 "_drop", F.lit(None).cast("array<int>"))
-        kept = F.filter(
+        drop_all = F.when(
+            F.col("_badpos").isNull(), F.coalesce(
+                F.col("_drop"), F.array().cast("array<int>"))
+        ).when(
+            F.col("_drop").isNull(), F.col("_badpos")
+        ).otherwise(F.array_union(F.col("_badpos"), F.col("_drop")))
+        kept = F.when(
+            F.col("_badpos").isNull() & F.col("_drop").isNull(),
             F.col("lines"),
-            lambda ln, i:
-                (F.col("_bad").isNull()
-                 | ~F.array_contains(F.col("_bad"), ln))
-                & (F.col("_drop").isNull()
-                   | ~F.array_contains(F.col("_drop"), i)))
-        rebuilt = rebuilt.select(
+        ).otherwise(
+            F.filter(F.col("lines"),
+                     lambda _ln, i: ~F.array_contains(F.col("_dropall"), i)))
+        rebuilt = rebuilt.withColumn("_dropall", drop_all).select(
             F.col(id_col), F.concat_ws("\n", kept).alias(text_col))
         cur = cur.drop(text_col).join(rebuilt, id_col)
     if redact:

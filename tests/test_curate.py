@@ -133,6 +133,46 @@ def test_newline_paragraph_dedup_keeps_first(spark, pages_factory):
     assert got["u/2"]["text"] == "unique two"
 
 
+def test_blank_lines_exempt_from_line_stages(spark, pages_factory):
+    """Blank/whitespace-only lines are layout, not dedupable values: even
+    though every doc 'shares' the empty line (df = n_docs) and it repeats
+    corpus-wide, neither the boilerplate stage nor keep-first dedup may
+    touch it — otherwise every multi-paragraph web document loses its
+    paragraph breaks."""
+    footer = "All rights reserved by Example Corp"
+    pages = pages_factory([
+        ("u/1", ts(0), f"Para one.\n\nPara TWO.\n \n{footer}", "en"),
+        ("u/2", ts(1), f"Body beta.\n\nMore beta.\n\n{footer}", "en"),
+        ("u/3", ts(2), f"Gamma text.\n\nEnd gamma.\n{footer}", "en"),
+    ])
+    got = by_url(curate_pages(pages, boilerplate_min_df=3,
+                              dedup_paragraphs=True, line_mode="newline"))
+    # footer (df=3) dropped everywhere; blank lines all survive, including
+    # the whitespace-only ' ' variant and repeats beyond the first
+    assert got["u/1"]["text"] == "Para one.\n\nPara TWO.\n "
+    assert got["u/2"]["text"] == "Body beta.\n\nMore beta.\n"
+    assert got["u/3"]["text"] == "Gamma text.\n\nEnd gamma."
+
+
+def test_auto_mode_picks_line_unit_per_doc(spark, pages_factory):
+    """line_mode='auto': docs WITH '\\n' use real lines (lossless when
+    untouched), newline-free docs fall back to 10-token pseudo-lines so
+    they still participate in the line stages — 'newline' mode would
+    silently exempt them (their single giant line is unique)."""
+    shared = tail("dup")
+    nl_text = "Real Line One.\nReal Line Two."
+    pages = pages_factory([
+        ("u/nl", ts(0), nl_text, "en"),
+        ("u/c1", ts(1), f"{shared} {tail('a')}", "en"),   # newline-free
+        ("u/c2", ts(2), f"{shared} {tail('b')}", "en"),   # newline-free
+    ])
+    got = by_url(curate_pages(pages, dedup_paragraphs=True,
+                              line_mode="auto"))
+    assert got["u/nl"]["text"] == nl_text            # lossless, real lines
+    assert got["u/c1"]["text"] == f"{shared}\n{tail('a')}"
+    assert got["u/c2"]["text"] == tail("b")          # lost its shared chunk
+
+
 def test_bad_line_mode_raises(spark, pages_factory):
     pages = pages_factory([("u/a", ts(0), "x", "en")])
     with pytest.raises(ValueError, match="line_mode"):
