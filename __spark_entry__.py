@@ -703,14 +703,16 @@ def _q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style intra-doc 2-gram repetition signals (repetition.py):
-    per-doc gram counts plus top-gram and duplicate-gram character
-    fractions. Deterministic top-gram tie-break (count, then gram length,
-    then gram text — max(struct) in Spark, the matching ORDER BY in the
-    oracle's row_number)."""
-    from pysparkdedup.repetition import repetition_stats
+    """The FULL Gopher repetition family (repetition.repetition_profile,
+    Rae et al. 2021 A1.1): per-doc gram counts plus top-gram and
+    duplicate-gram character fractions for n = 2, 3 AND 4, one Arrow
+    kernel pass (tokenize/factorize shared across n). Wide row — 12 stat
+    columns — in the same contract slot the 2-gram query held through
+    round 5. Deterministic top-gram tie-break (count, then gram length;
+    the gram-text third key cannot change the count*len product)."""
+    from pysparkdedup.repetition import repetition_profile
 
-    return repetition_stats(_docs(spark, sf_dir), n=2)
+    return repetition_profile(_docs(spark, sf_dir), ns=(2, 3, 4))
 
 
 def _q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1498,6 +1500,66 @@ def _emb_dup_clusters_oracle_sql() -> str:
     """
 
 
+def _repetition_profile_oracle_sql(ns: tuple[int, ...]) -> str:
+    """Replays repetition_profile for every n in ``ns``: tokenize once,
+    then per n group grams, rank the top gram by (count, char length —
+    gram text as a formal third key matching the historical struct
+    order; it cannot change the count*len product), and round the two
+    char-fraction ratios to 4 decimals. Mirrors the engine's single
+    shared tokenization with one ``toks`` CTE feeding per-n CTE chains."""
+    parts = [r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                   '\s+'), t -> t != '') AS ts
+                FROM documents
+            )"""]
+    selects = ["d.doc_id"]
+    joins = ["FROM documents d"]
+    for n in ns:
+        parts.append(f"""
+            , grams_{n} AS (
+                SELECT doc_id, array_to_string(ts[i:i+{n - 1}], ' ') AS gram
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1,
+                                 greatest(len(ts) - {n - 1}, 0))) AS i
+                      FROM toks)
+            ), per_gram_{n} AS (
+                SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                FROM grams_{n} GROUP BY doc_id, gram
+            ), ranked_{n} AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, glen DESC, gram DESC) AS rn
+                FROM per_gram_{n}
+            ), stats_{n} AS (
+                SELECT doc_id, sum(cnt) AS n_grams, count(*) AS distinct_grams,
+                       sum(cnt * glen) AS total_chars,
+                       sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+                           AS dup_chars
+                FROM per_gram_{n} GROUP BY doc_id
+            ), top_{n} AS (
+                SELECT doc_id, cnt * glen AS top_chars
+                FROM ranked_{n} WHERE rn = 1
+            )""")
+        selects += [
+            f"coalesce(s{n}.n_grams, 0)::BIGINT AS n_grams_{n}",
+            f"coalesce(s{n}.distinct_grams, 0)::BIGINT AS distinct_grams_{n}",
+            f"coalesce(round(t{n}.top_chars"
+            f" / greatest(s{n}.total_chars, 1)::DOUBLE, 4), 0.0)"
+            f" AS top_gram_frac_{n}",
+            f"coalesce(round(s{n}.dup_chars"
+            f" / greatest(s{n}.total_chars, 1)::DOUBLE, 4), 0.0)"
+            f" AS dup_gram_frac_{n}",
+        ]
+        joins += [
+            f"LEFT JOIN stats_{n} s{n} ON s{n}.doc_id = d.doc_id",
+            f"LEFT JOIN top_{n} t{n} ON t{n}.doc_id = d.doc_id",
+        ]
+    return ("".join(parts)
+            + "\n            SELECT " + ",\n                   ".join(selects)
+            + "\n            " + "\n            ".join(joins))
+
+
 def _tiered_oracle_sql() -> str:
     """DuckDB replay of tiers.tiered_dedup — the three-tier cascade as one
     nested-CTE pipeline over the SAME shared kernel replays the per-tier
@@ -2272,44 +2334,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "guards_eviction_size_only": _guards_eviction_size_only_oracle_sql(),
-        "repetition_stats_docs": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
-                                   '\s+'), t -> t != '') AS ts
-                FROM documents
-            ), grams AS (
-                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
-                FROM (SELECT doc_id, ts,
-                             unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
-                      FROM toks)
-            ), per_gram AS (
-                SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
-                FROM grams GROUP BY doc_id, gram
-            ), ranked AS (
-                -- Spark's max(struct(cnt, glen, gram)): lexicographic max
-                SELECT *, row_number() OVER (PARTITION BY doc_id
-                          ORDER BY cnt DESC, glen DESC, gram DESC) AS rn
-                FROM per_gram
-            ), stats AS (
-                SELECT doc_id, sum(cnt) AS n_grams, count(*) AS distinct_grams,
-                       sum(cnt * glen) AS total_chars,
-                       sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_chars
-                FROM per_gram GROUP BY doc_id
-            ), top AS (
-                SELECT doc_id, cnt * glen AS top_chars FROM ranked WHERE rn = 1
-            )
-            SELECT d.doc_id,
-                   coalesce(s.n_grams, 0)::BIGINT AS n_grams,
-                   coalesce(s.distinct_grams, 0)::BIGINT AS distinct_grams,
-                   coalesce(round(t.top_chars / greatest(s.total_chars, 1)::DOUBLE, 4),
-                            0.0) AS top_gram_frac,
-                   coalesce(round(s.dup_chars / greatest(s.total_chars, 1)::DOUBLE, 4),
-                            0.0) AS dup_gram_frac
-            FROM documents d
-            LEFT JOIN stats s ON s.doc_id = d.doc_id
-            LEFT JOIN top t ON t.doc_id = d.doc_id
-        """,
+        "repetition_stats_docs": _repetition_profile_oracle_sql((2, 3, 4)),
         "boilerplate_lines_docs": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -14,12 +14,13 @@ analog for, but a web-scale corpus pipeline needs alongside dedup:
   (navigation chrome, cookie banners, footers) is boilerplate; drop it from
   every document while preserving the order of what remains.
 
-Both are pure JVM column algebra (no Python UDFs).
-
 Scale notes (100 TB):
-- ``repetition_stats`` is SHUFFLE-FREE (plan-gated: zero Exchange nodes):
-  per-doc sorted-gram run-length scan via ``aggregate`` — embarrassingly
-  parallel, a mega-document costs only its own gram count within its task.
+- ``repetition_stats`` / ``repetition_profile`` are SHUFFLE-FREE
+  (plan-gated: zero Exchange nodes): per-document signals computed by an
+  Arrow-batched numpy kernel inside ``mapInPandas`` — embarrassingly
+  parallel, a mega-document costs only its own gram count within its
+  task, and the whole batch is one factorize + one lexsort per n (no
+  per-row Python). The line ops are pure JVM column algebra.
 - ``drop_boilerplate_lines`` dehydrates: only the (id, line) projection
   rides the document-frequency aggregation (distinct-then-count; partial
   agg absorbs hot boilerplate lines because count is O(1) state); the
@@ -29,8 +30,15 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def tokens_expr(text_col: str = "text") -> Column:
@@ -95,13 +103,166 @@ def chunk_lines_expr(tokens: Column, tokens_per_line: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _rep_state(prev, run, tot, dup, n, dst, bc, bl, bg) -> Column:
-    """Run-length scan state: current run (prev gram, length), totals, and
-    the best-so-far (count, len, gram) under the lexicographic order."""
-    return F.struct(
-        prev.alias("prev"), run.alias("run"), tot.alias("tot"),
-        dup.alias("dup"), n.alias("n"), dst.alias("dst"),
-        bc.alias("bc"), bl.alias("bl"), bg.alias("bg"))
+# Java's default \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r] — the
+# kernel must tokenize byte-identically to tokens_expr's F.split(..., \s+).
+_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+_Q4 = Decimal("0.0001")
+_GLEN_BITS = np.uint64(34)          # (count << 34) | gram_char_len packing
+_GLEN_MASK = np.uint64((1 << 34) - 1)
+
+REP_COLS = ("n_grams", "distinct_grams", "top_gram_frac", "dup_gram_frac")
+
+
+def _round4_half_up(x: float) -> float:
+    """Spark's ``F.round(double, 4)``: BigDecimal.valueOf(x) — the SHORTEST
+    round-trip decimal string, which Python's repr() also produces — scaled
+    with HALF_UP. numpy's half-to-even (and plain float tricks like
+    floor(x*1e4+0.5), which misreads near-tie doubles) would drift on
+    .xxxx5 boundaries, and the DuckDB oracle replays exact rounded values,
+    so the JVM semantics are pinned explicitly here."""
+    return float(Decimal(repr(x)).quantize(_Q4, rounding=ROUND_HALF_UP))
+
+
+def _profile_batch(pdf: pd.DataFrame, ns: tuple[int, ...],
+                   id_col: str, text_col: str) -> pd.DataFrame:
+    """One Arrow batch -> per-doc repetition stats for every n in ``ns``.
+
+    Fully batch-vectorized: one tokenize + factorize over the whole batch
+    (exact string identity — no hash collisions), then per n one
+    sliding-window view, one lexsort by (doc, gram) and a run-length /
+    reduceat pass. The only per-row Python is the final HALF_UP rounding
+    of two ratios per (doc, n)."""
+    toks: list[list[str]] = []
+    for t in pdf[text_col]:
+        if isinstance(t, str) and t:
+            toks.append([w for w in _WS_RE.split(t.lower()) if w])
+        else:
+            toks.append([])
+    ndocs = len(toks)
+    doc_lens = np.fromiter((len(ts) for ts in toks), dtype=np.int64,
+                           count=ndocs)
+    flat = [w for ts in toks for w in ts]
+    total = len(flat)
+    if total:
+        codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(
+            np.int64)
+        tlen = np.fromiter(map(len, flat), dtype=np.int64, count=total)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), doc_lens)
+        cs = np.concatenate((np.zeros(1, np.int64), np.cumsum(tlen)))
+
+    out: dict = {id_col: pdf[id_col]}
+    for n in ns:
+        ng = np.zeros(ndocs, np.int64)
+        dg = np.zeros(ndocs, np.int64)
+        top = np.zeros(ndocs, np.float64)
+        dup = np.zeros(ndocs, np.float64)
+        g_all = total - n + 1
+        if total and g_all > 0:
+            # window i is a real gram iff it does not cross a doc boundary
+            valid = doc_of[:g_all] == doc_of[n - 1:]
+            if valid.any():
+                vdoc = doc_of[:g_all][valid]
+                # space-joined gram char length = token chars + (n-1)
+                glen = (cs[n:] - cs[:-n] + (n - 1))[valid]
+                win = np.lib.stride_tricks.sliding_window_view(
+                    codes, n)[valid]
+                # lexsort: LAST key is primary -> (doc, gram[0..n-1])
+                order = np.lexsort(
+                    tuple(win[:, j] for j in range(n - 1, -1, -1))
+                    + (vdoc,))
+                sd = vdoc[order]
+                sw = win[order]
+                sg = glen[order]
+                m = len(sd)
+                newrun = np.ones(m, bool)
+                newrun[1:] = sd[1:] != sd[:-1]
+                newrun[1:] |= (sw[1:] != sw[:-1]).any(axis=1)
+                rstart = np.flatnonzero(newrun)
+                rcount = np.diff(np.append(rstart, m))
+                rdoc = sd[rstart]
+                rglen = sg[rstart]
+                dstart = np.flatnonzero(
+                    np.concatenate(([True], rdoc[1:] != rdoc[:-1])))
+                present = rdoc[dstart]
+                occ_chars = rcount * rglen
+                tot_c = np.add.reduceat(occ_chars, dstart)
+                dup_c = np.add.reduceat(
+                    np.where(rcount >= 2, occ_chars, 0), dstart)
+                ng[present] = np.add.reduceat(rcount, dstart)
+                dg[present] = np.diff(np.append(dstart, len(rdoc)))
+                # top gram per doc: max over (count, char_len) — the old
+                # struct order's third key (gram text) provably never
+                # changes the OUTPUT: equal (count, len) => equal
+                # count*len product. Packed u64 so one maximum.reduceat
+                # replaces a per-run comparison loop.
+                pack = (
+                    rcount.astype(np.uint64) << _GLEN_BITS
+                ) | np.minimum(rglen, _GLEN_MASK.astype(np.int64)).astype(
+                    np.uint64)
+                best = np.maximum.reduceat(pack, dstart)
+                # long multiply THEN cast to double: matches the JVM's
+                # (bc: long) * (bl: long) / (safe: double)
+                prod = ((best >> _GLEN_BITS)
+                        * (best & _GLEN_MASK)).astype(np.float64)
+                safe = np.maximum(tot_c, 1).astype(np.float64)
+                top[present] = prod / safe
+                dup[present] = dup_c.astype(np.float64) / safe
+        out[f"n_grams_{n}"] = ng
+        out[f"distinct_grams_{n}"] = dg
+        out[f"top_gram_frac_{n}"] = np.fromiter(
+            (_round4_half_up(x) for x in top), np.float64, ndocs)
+        out[f"dup_gram_frac_{n}"] = np.fromiter(
+            (_round4_half_up(x) for x in dup), np.float64, ndocs)
+    return pd.DataFrame(out)
+
+
+def repetition_profile(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals for SEVERAL n at once — the full
+    Gopher repetition-filter family (Rae et al. 2021 appendix A1.1
+    thresholds dup-{2,3,4}-gram and top-{2,3,4}-gram char fractions).
+
+    Returns one row per input row: ``id_col`` plus, for each n in ``ns``,
+    ``n_grams_{n}`` / ``distinct_grams_{n}`` / ``top_gram_frac_{n}`` /
+    ``dup_gram_frac_{n}`` (same definitions as repetition_stats; ratios
+    HALF_UP-rounded to 4 decimals, 0.0 for gram-less docs).
+
+    SHUFFLE-FREE: one ``mapInPandas`` pass — tokenization and the exact
+    token->code factorization are shared across all n, so asking for
+    (2, 3, 4) costs one tokenize plus three windowed sorts, not three
+    full passes. Replaces the earlier per-doc JVM ``aggregate`` run-length
+    scan: higher-order functions are CodegenFallback (interpreted, no
+    subexpression reuse) and the gram sort + fold dominated the curation
+    pass's per-doc cost; the Arrow-batched numpy kernel does the same
+    work vectorized.
+
+    Caller note: Spark has no DAG-level CSE — each downstream consumer
+    re-executes the Python kernel. Materialize (persist the slim
+    projection, as curate_pages does) before fanning out or filtering.
+    """
+    ns = tuple(ns)
+    if not ns or len(set(ns)) != len(ns) or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be distinct ints >= 1, got {ns!r}")
+    id_field = df.schema[id_col]
+    fields = [T.StructField(id_col, id_field.dataType, id_field.nullable)]
+    for n in ns:
+        fields += [
+            T.StructField(f"n_grams_{n}", T.LongType(), True),
+            T.StructField(f"distinct_grams_{n}", T.LongType(), True),
+            T.StructField(f"top_gram_frac_{n}", T.DoubleType(), True),
+            T.StructField(f"dup_gram_frac_{n}", T.DoubleType(), True),
+        ]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _profile_batch(pdf, ns, id_col, text_col)
+
+    return df.select(id_col, text_col).mapInPandas(
+        compute, schema=T.StructType(fields))
 
 
 def repetition_stats(
@@ -116,83 +277,21 @@ def repetition_stats(
     - ``n_grams``        : total n-gram occurrences in the document;
     - ``distinct_grams`` : distinct n-grams;
     - ``top_gram_frac``  : chars of the most frequent n-gram times its count,
-      over total n-gram-occurrence chars (ties broken by longer gram, then
-      lexicographically larger gram — fully deterministic);
+      over total n-gram-occurrence chars (count ties broken by longer gram —
+      fully deterministic; the gram-text tie-break of the historical struct
+      order cannot affect the product);
     - ``dup_gram_frac``  : char mass of n-grams occurring >= 2 times, over
       total n-gram-occurrence chars.
 
-    Ratios are rounded to 4 decimals; documents with no n-grams get 0.0.
-
-    Implementation is SHUFFLE-FREE: the stats are per-document, so instead of
-    exploding every gram into a corpus-wide (id, gram) aggregation (a shuffle
-    of the whole token stream), each document sorts its own gram array and a
-    single JVM ``aggregate`` pass counts run lengths — embarrassingly
-    parallel, scan → project, nothing moves between executors. A run's close
-    folds its (count, len, gram) into the best-so-far with a struct
-    comparison, reproducing ``max(struct(cnt, glen, gram))`` exactly (the
-    empty-string sentinel never beats a real gram).
-
-    Caller note: higher-order functions are CodegenFallback (interpreted,
-    no cross-reference subexpression reuse), so FILTERING directly on a
-    returned column lets Catalyst inline the whole aggregate into the
-    filter predicate — measured ~7x the cost of projecting the same
-    column. Materialize first (persist the slim (id, score) projection,
-    as curate_pages does), then filter on the cached values.
+    Ratios are HALF_UP-rounded to 4 decimals (JVM ``F.round`` semantics,
+    pinned in the kernel); documents with no n-grams get 0.0. The
+    single-n view of ``repetition_profile`` — see there for the execution
+    model and the materialize-before-fan-out caller note.
     """
-    zero = F.lit(0).cast("long")
-    # Materialized token column: the gram lambda slices a computed array
-    # instead of re-running split+filter per gram (O(len^2) otherwise).
-    grams_sorted = F.array_sort(grams_expr(F.col("_rep_toks"), n))
-
-    def close_run(acc):
-        """(dup, dst, best) after folding the current run, if any."""
-        plen = F.length(acc["prev"]).cast("long")
-        ndup = acc["dup"] + F.when(
-            acc["run"] >= 2, acc["run"] * plen).otherwise(zero)
-        ndst = acc["dst"] + F.when(acc["run"] > 0, F.lit(1).cast("long")
-                                   ).otherwise(zero)
-        cand = F.struct(acc["run"].alias("bc"), plen.alias("bl"),
-                        acc["prev"].alias("bg"))
-        cur = F.struct(acc["bc"].alias("bc"), acc["bl"].alias("bl"),
-                       acc["bg"].alias("bg"))
-        best = F.when(cand > cur, cand).otherwise(cur)
-        return ndup, ndst, best
-
-    def merge(acc, g):
-        glen = F.length(g).cast("long")
-        ndup, ndst, best = close_run(acc)
-        return F.when(
-            acc["prev"] == g,
-            _rep_state(g, acc["run"] + 1, acc["tot"] + glen, acc["dup"],
-                       acc["n"] + 1, acc["dst"],
-                       acc["bc"], acc["bl"], acc["bg"]),
-        ).otherwise(
-            _rep_state(g, F.lit(1).cast("long"), acc["tot"] + glen, ndup,
-                       acc["n"] + 1, ndst,
-                       best["bc"], best["bl"], best["bg"]),
-        )
-
-    def finish(acc):
-        fdup, fdst, best = close_run(acc)
-        safe = F.greatest(acc["tot"], F.lit(1)).cast("double")
-        return F.struct(
-            acc["n"].alias("n_grams"),
-            fdst.alias("distinct_grams"),
-            F.round((best["bc"] * best["bl"]) / safe, 4
-                    ).alias("top_gram_frac"),
-            F.round(fdup / safe, 4).alias("dup_gram_frac"),
-        )
-
-    init = _rep_state(F.lit(""), zero, zero, zero, zero, zero,
-                      zero, zero, F.lit(""))
-    out = F.aggregate(grams_sorted, init, merge, finish)
-    return df.withColumn("_rep_toks", tokens_expr(text_col)).select(
+    prof = repetition_profile(df, ns=(n,), id_col=id_col, text_col=text_col)
+    return prof.select(
         F.col(id_col),
-        out["n_grams"].alias("n_grams"),
-        out["distinct_grams"].alias("distinct_grams"),
-        out["top_gram_frac"].alias("top_gram_frac"),
-        out["dup_gram_frac"].alias("dup_gram_frac"),
-    )
+        *[F.col(f"{c}_{n}").alias(c) for c in REP_COLS])
 
 
 def line_doc_frequency(

@@ -165,6 +165,87 @@ def test_repetition_stats_matches_python_reference_randomized(spark):
         assert eng[3] == pytest.approx(exp[3], abs=6e-5), f"doc {i}: {text!r}"
 
 
+def test_half_up_rounding_pinned(spark):
+    """The kernel must reproduce JVM F.round (HALF_UP on the shortest
+    decimal repr), not numpy/Python banker's rounding: 32 distinct
+    single-char tokens at n=1 give top_gram_frac exactly 1/32 = 0.03125,
+    a representable .xxxx5 tie — HALF_UP says 0.0313 where half-to-even
+    says 0.0312. The DuckDB oracle replays exact rounded values, so this
+    boundary is load-bearing."""
+    import string
+
+    text = " ".join(string.ascii_lowercase + string.digits[:6])
+    got = by_id(repetition_stats(docs(spark, [(1, text)]), n=1))
+    assert got[1]["n_grams"] == 32 and got[1]["distinct_grams"] == 32
+    assert got[1]["top_gram_frac"] == 0.0313   # HALF_UP, not 0.0312
+
+
+def test_repetition_profile_multi_n(spark):
+    """repetition_profile(ns=(2,3,4)) returns the full Gopher family in
+    one pass, each n's columns equal to the standalone repetition_stats
+    run at that n."""
+    from pysparkdedup.repetition import REP_COLS, repetition_profile
+
+    rows = [
+        (1, "a b a b a b c"),
+        (2, "x y z x y z x y z"),
+        (3, "solo"),
+        (4, None),
+    ]
+    prof = by_id(repetition_profile(docs(spark, rows), ns=(2, 3, 4)))
+    for n in (2, 3, 4):
+        single = by_id(repetition_stats(docs(spark, rows), n=n))
+        for i, _ in rows:
+            for c in REP_COLS:
+                assert prof[i][f"{c}_{n}"] == single[i][c], (i, n, c)
+    # sanity on one hand-computed value: doc 2 "x y z"x3 3-grams:
+    # 9 tokens -> 7 grams; "x y z" x3 (len 5), "y z x" x2, "z x y" x2
+    assert prof[2]["n_grams_3"] == 7 and prof[2]["distinct_grams_3"] == 3
+    assert prof[2]["dup_gram_frac_3"] == 1.0
+
+
+def test_repetition_profile_randomized_all_n(spark):
+    """Counter-based Python reference vs the batched kernel for n in
+    {1,2,3,4} over random small-alphabet docs — counts exact, fractions
+    replayed with the same HALF_UP decimal rounding (exact equality)."""
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pysparkdedup.repetition import repetition_profile
+
+    rng = random.Random(77)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ffff"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.choice([0, 1, 2, 3, 5, 8, 21]))))
+            for i in range(120)]
+
+    def ref(text, n):
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return (0, 0, 0.0, 0.0)
+        c = Counter(grams)
+        total = sum(cnt * len(g) for g, cnt in c.items())
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        bc, bl = max((cnt, len(g)) for g, cnt in c.items())
+
+        def r4(x):
+            return float(Decimal(repr(x)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+        return (len(grams), len(c), r4(bc * bl / max(total, 1)),
+                r4(dup / max(total, 1)))
+
+    got = by_id(repetition_profile(docs(spark, rows), ns=(1, 2, 3, 4)))
+    for i, text in rows:
+        for n in (1, 2, 3, 4):
+            exp = ref(text, n)
+            eng = (got[i][f"n_grams_{n}"], got[i][f"distinct_grams_{n}"],
+                   got[i][f"top_gram_frac_{n}"], got[i][f"dup_gram_frac_{n}"])
+            assert eng == exp, f"doc {i} n={n}: {text!r}"
+
+
 def lines_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, lines array<string>")
 
