@@ -6,6 +6,15 @@ itself and its neighbors until no label changes. Near-dup graphs built from
 star-shaped bucket pairs (pairs.py) have tiny diameter, so convergence is
 2-4 iterations in practice; ``max_iter`` bounds pathological chains.
 
+Execution is ADAPTIVE on the materialized edge count (observed on the
+materialization job — no extra count job): small graphs are solved by a
+driver-side union-find over the collected slim (a, b) pairs — identical
+min-labels, zero fixpoint barriers — because below ~10^6 edges the
+distributed fixpoint's cost is purely job-scheduling/checkpoint latency
+(~2 s wall for a 1-edge graph, measured); large graphs run the
+distributed fixpoint unchanged. Same philosophy as AQE's runtime
+broadcast decision: pick the physical strategy from the actual size.
+
 Scale notes:
 - each materialized iteration fuses TWO min-label propagation steps (the
   fixpoint is confluent, so step grouping cannot change the result) — job
@@ -26,14 +35,73 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Below this many edges the distributed fixpoint is pure barrier overhead:
+# each double-step is a multi-stage shuffle job (~0.5-1 s of scheduling +
+# AQE + checkpoint latency at ANY data size — measured ~2 s wall for a
+# 1-edge graph), while a driver-side union-find over the slim (a, b)
+# string pairs is milliseconds. 2M edges is ~100-200 MB of strings on the
+# driver — the same order as a broadcast dim, and far below what a job
+# that produced billions of candidate pairs leaves as verified edges only
+# when the corpus itself is small. The threshold is the adaptive cutoff
+# (AQE broadcast-threshold philosophy): big graphs take the distributed
+# path unchanged.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_union_find(edge_rows, url_type) -> tuple[list, T.StructType]:
+    """Classic path-compressed union-find over collected (a, b) pairs;
+    labels = min member per component — EXACTLY the fixpoint's result
+    (UTF-8 byte order equals code-point order, so Python min over strings
+    matches Spark's string ordering)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict = {}
+    for v in parent:
+        r = find(v)
+        m = roots.get(r)
+        if m is None or v < m:
+            roots[r] = v
+    rows = [(v, f"cc:{roots[find(v)]}") for v in parent]
+    schema = T.StructType([
+        T.StructField("url", url_type, True),
+        T.StructField("cluster_key", T.StringType(), True),
+    ])
+    return rows, schema
 
 
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                          max_iter: int = 25,
                          on_nonconverged: str = "raise",
-                         reliable: bool = False) -> DataFrame:
+                         reliable: bool = False,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES
+                         ) -> DataFrame:
     """edges (a, b) -> (url, cluster_key) with cluster_key = min url of the
     component. Only nodes that appear in an edge are returned.
+
+    Adaptive execution: the edge count rides the materialization job as an
+    ``observe`` (zero extra jobs); at or below ``small_graph_edges`` the
+    components are solved by a driver-side union-find over the collected
+    slim pairs (identical labels, no fixpoint barriers — see
+    SMALL_GRAPH_EDGES), above it by the distributed min-label fixpoint.
+    Pass ``small_graph_edges=0`` to force the distributed path.
 
     If ``max_iter`` is exhausted before the fixpoint (a long-diameter chain
     graph — containment/ngram edges can produce them), the labels would be
@@ -59,10 +127,22 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     # Materialize the edge input once: the symmetric union references it
     # twice, and Spark recomputes shared subtrees (no DAG-level CSE) — for
     # LSH edges that would mean running candidate generation + verification
-    # twice.
-    edges = materialize(edges.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ))
+    # twice. The edge count rides this job as a CollectMetrics node so the
+    # small-graph dispatch costs no extra job.
+    import uuid
+
+    spark = edges.sparkSession
+    obs_n = Observation(f"cc_n_edges_{uuid.uuid4().hex[:8]}")
+    edges = materialize(
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .observe(obs_n, F.count(F.lit(1)).alias("n")))
+    n_edges = obs_n.get["n"] or 0
+
+    if n_edges <= small_graph_edges:
+        url_type = edges.schema["a"].dataType
+        rows, schema = _driver_union_find(
+            ((r["a"], r["b"]) for r in edges.collect()), url_type)
+        return spark.createDataFrame(rows, schema)
     # No distinct(): min-aggregation is idempotent over duplicate edges, and
     # the dedup shuffle would cost more than it saves.
     sym = edges.select(

@@ -187,8 +187,15 @@ def dedup_against(
     old_stats = old_dims["band_stats"] if old_dims is not None else None
     pairs = cross_candidate_pairs(
         lsh_bands(new_sigs, cfg), old_bands, cap=cap, old_stats=old_stats)
-    scored = _cross_jaccard(pairs, new_sigs, old_sigs, cfg).filter(
-        F.col("jaccard") >= cfg.jaccard_threshold)
+    # Persist the slim scored frame BEFORE the threshold filter: the
+    # jaccard estimate is an interpreted aggregate-over-zip_with
+    # (CodegenFallback), and filtering on it directly inlines the whole
+    # expression into the predicate next to the projected copy — 2x
+    # evaluation per candidate pair. The persist boundary evaluates once.
+    scored = track(
+        _cross_jaccard(pairs, new_sigs, old_sigs, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.col("jaccard") >= cfg.jaccard_threshold)
     best = scored.groupBy("url").agg(
         F.min(F.struct((-F.col("jaccard")).alias("nj"),
                        F.col("old_url").alias("u"))).alias("_b"))

@@ -210,7 +210,18 @@ def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
 
     Sign-LSH buckets generate candidates (skew-aware via pairs.bucket_pairs),
     exact double-precision cosine verifies. Feed components.connected_components
-    for embedding-level dup clusters — the vector analog of MinHash-LSH."""
+    for embedding-level dup clusters — the vector analog of MinHash-LSH.
+
+    The scored frame is persisted BEFORE the threshold filter: the cosine
+    is THREE aggregate-over-zip_with higher-order expressions (dot + two
+    norms — CodegenFallback, interpreted), and filtering directly on it
+    inlines all of them into the predicate next to the projected column —
+    2x evaluation per candidate pair (same mechanism as minhash_edges /
+    the curate pass). The persist boundary evaluates once into a slim
+    (a, b, cosine) cache."""
+    from pyspark import StorageLevel
+
+    from .cache import track
     from .pairs import bucket_pairs
 
     buckets = hyperplane_buckets(emb, n_tables, n_bits, seed=seed,
@@ -219,7 +230,9 @@ def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
         buckets.select("table_id", "bucket", F.col(id_col).alias("url")),
         ["table_id", "bucket"], id_col="url", cap=max_bucket,
     ).dropDuplicates(["a", "b"])
-    scored = cosine_pairs_exact(cand, emb, id_col=id_col, emb_col=emb_col)
+    scored = track(
+        cosine_pairs_exact(cand, emb, id_col=id_col, emb_col=emb_col)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     return scored.filter(F.col("cosine") >= threshold)
 
 

@@ -169,16 +169,20 @@ def test_connected_components_nonconvergence_observable(spark):
 
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)], ["a", "b"])
+    # small_graph_edges=0 forces the distributed fixpoint — the driver-side
+    # union-find has no iteration limit to observe
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1).collect()
+        connected_components(edges, max_iter=1,
+                             small_graph_edges=0).collect()
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        out = connected_components(edges, max_iter=1,
+        out = connected_components(edges, max_iter=1, small_graph_edges=0,
                                    on_nonconverged="warn").collect()
     assert any("did not converge" in str(w.message) for w in caught)
     assert len(out) == 13
     # And with enough iterations the chain converges to one component.
-    full = connected_components(edges, max_iter=25).collect()
+    full = connected_components(edges, max_iter=25,
+                                small_graph_edges=0).collect()
     assert {r["cluster_key"] for r in full} == {"cc:n00"}
 
 
@@ -192,9 +196,39 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], ["a", "b"])
     got = {(r["url"], r["cluster_key"])
-           for r in connected_components(edges, reliable=True).collect()}
+           for r in connected_components(edges, reliable=True,
+                                         small_graph_edges=0).collect()}
     assert got == {("a", "cc:a"), ("b", "cc:a"), ("c", "cc:a"),
                    ("x", "cc:x"), ("y", "cc:x")}
+
+
+def test_small_graph_union_find_matches_distributed(spark):
+    """The adaptive driver-side union-find (default for small edge sets)
+    must produce EXACTLY the distributed fixpoint's labels — pinned on a
+    random multi-component graph with chains, stars, duplicate and
+    self-referential-ish edges."""
+    import random
+
+    from pysparkdedup.components import connected_components
+
+    rng = random.Random(9)
+    rows = []
+    for comp in range(12):                      # chained stars per component
+        hub = f"c{comp:02d}_h"
+        for m in range(rng.randint(1, 9)):
+            rows.append((hub, f"c{comp:02d}_m{m}"))
+        rows.append((f"c{comp:02d}_m0", f"c{comp:02d}_x"))
+    rows += rows[:7]                            # duplicate edges
+    rng.shuffle(rows)
+    edges = spark.createDataFrame(rows, "a string, b string")
+
+    small = {(r["url"], r["cluster_key"])
+             for r in connected_components(edges).collect()}
+    dist = {(r["url"], r["cluster_key"])
+            for r in connected_components(
+                edges, small_graph_edges=0).collect()}
+    assert small == dist
+    assert len({u for u, _ in small}) == len(small)  # one row per node
 
 
 def test_connected_components_rejects_bad_max_iter(spark):
