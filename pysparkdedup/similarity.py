@@ -49,13 +49,51 @@ def cosine_col(a: F.Column, b: F.Column) -> F.Column:
 def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
                        id_col: str = "vec_id",
                        emb_col: str = "embedding") -> DataFrame:
-    """pairs(a, b) + emb(id, embedding) -> (a, b, cosine)."""
+    """pairs(a, b) + emb(id, embedding) -> (a, b, cosine).
+
+    The joins are JVM (AQE broadcasts the embedding dim when it fits); the
+    cosine itself is a batched numpy kernel rather than the column-algebra
+    ``cosine_col``: three aggregate-over-zip_with higher-order expressions
+    per row are CodegenFallback (interpreted, per-element allocation) —
+    the dominant cost when LSH buckets emit 10^8 candidates. BIT-EXACT
+    parity with ``cosine_col`` and the DuckDB ``list_reduce`` oracle
+    replay is preserved by accumulating the dot/norm sums as an ordered
+    per-dimension left fold (``acc += a[:, d] * b[:, d]`` — same
+    operation order, same IEEE doubles; the same trick hyperplane_buckets
+    uses instead of a BLAS matmul, whose pairwise-summation order is
+    unspecified)."""
+    a_type = pairs.schema["a"].dataType
+    b_type = pairs.schema["b"].dataType
+    schema = T.StructType([
+        T.StructField("a", a_type, True),
+        T.StructField("b", b_type, True),
+        T.StructField("cosine", T.DoubleType(), True),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ea = np.vstack(pdf["_ea"].to_numpy()).astype(np.float64)
+            eb = np.vstack(pdf["_eb"].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(pdf), np.float64)
+            na = np.zeros(len(pdf), np.float64)
+            nb = np.zeros(len(pdf), np.float64)
+            for d in range(ea.shape[1]):  # ordered left fold per dim
+                ca, cb = ea[:, d], eb[:, d]
+                dot += ca * cb
+                na += ca * ca
+                nb += cb * cb
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "cosine": cos})
+
     ea = emb.select(F.col(id_col).alias("a"), F.col(emb_col).alias("_ea"))
     eb = emb.select(F.col(id_col).alias("b"), F.col(emb_col).alias("_eb"))
     return (
         pairs.join(ea, "a").join(eb, "b")
-        .withColumn("cosine", cosine_col(F.col("_ea"), F.col("_eb")))
-        .select("a", "b", "cosine")
+        .select("a", "b", "_ea", "_eb")
+        .mapInPandas(score, schema=schema)
     )
 
 
@@ -201,12 +239,39 @@ def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
     ).mapInPandas(compute, schema=schema).withColumnRenamed("_id", id_col)
 
 
+# Auto-banding target: mean vectors per sign-LSH bucket. Candidate volume
+# grows ~linearly with occupancy (n * B / 2 pairs per table), so a FIXED
+# n_bits under-partitions big corpora: 200k vectors at n_bits=10 sit at
+# ~195 per bucket — just under the 256 degrade cap — and emit ~10^8
+# full-pairwise candidates. Targeting B=32 keeps candidates ~n*16 per
+# table at ANY corpus size while per-table collision probability for
+# cos >= 0.95 pairs stays ~0.25 (0.97 recall over 12 tables).
+TARGET_BUCKET_OCCUPANCY = 32
+
+
+def _auto_n_bits(n_vectors: int, occupancy: int = TARGET_BUCKET_OCCUPANCY,
+                 lo: int = 4, hi: int = 24) -> int:
+    import math
+
+    if n_vectors <= occupancy:
+        return lo
+    return max(lo, min(hi, round(math.log2(n_vectors / occupancy))))
+
+
 def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
-                        n_tables: int = 12, n_bits: int = 10,
+                        n_tables: int = 12, n_bits: int | None = None,
                         seed: int = 42, id_col: str = "vec_id",
                         emb_col: str = "embedding",
                         max_bucket: int = 256) -> DataFrame:
     """Embedding-cosine near-duplicate edges: (a, b, cosine >= threshold).
+
+    ``n_bits=None`` (default) auto-sizes the banding from the exact vector
+    count so mean bucket occupancy tracks TARGET_BUCKET_OCCUPANCY instead
+    of exploding with corpus size — the bucket-granularity analog of AQE
+    picking shuffle partitions from runtime statistics. The count is one
+    column-pruned job and is parallelism-independent, so auto-banded runs
+    stay deterministic; pass an explicit ``n_bits`` to pin the layout
+    (the oracle queries do — their DuckDB replay embeds it).
 
     Sign-LSH buckets generate candidates (skew-aware via pairs.bucket_pairs),
     exact double-precision cosine verifies. Feed components.connected_components
@@ -224,6 +289,8 @@ def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
     from .cache import track
     from .pairs import bucket_pairs
 
+    if n_bits is None:
+        n_bits = _auto_n_bits(emb.select(id_col).count())
     buckets = hyperplane_buckets(emb, n_tables, n_bits, seed=seed,
                                  id_col=id_col, emb_col=emb_col)
     cand = bucket_pairs(

@@ -72,6 +72,22 @@ def test_lsh_topk_recall_vs_exact(spark, emb):
     assert sum(overlaps) / len(overlaps) >= 0.4  # ANN: partial recall OK
 
 
+def test_auto_n_bits_tracks_occupancy():
+    """n_bits=None sizes the banding so mean bucket occupancy stays near
+    the target at any corpus size (the fixed-n_bits failure mode: 200k
+    vectors at n_bits=10 sit ~195/bucket and emit ~10^8 candidates)."""
+    from pysparkdedup.similarity import (
+        TARGET_BUCKET_OCCUPANCY, _auto_n_bits)
+
+    assert _auto_n_bits(10) == 4            # clamp floor
+    assert _auto_n_bits(2_000) == 6         # 2000/64 ~ 31 per bucket
+    assert _auto_n_bits(200_000) == 13
+    assert _auto_n_bits(10**12) == 24       # clamp ceiling
+    for n in (10_000, 200_000, 5_000_000):
+        occ = n / (1 << _auto_n_bits(n))
+        assert occ <= 2.5 * TARGET_BUCKET_OCCUPANCY
+
+
 def test_embedding_dup_clusters(spark, emb):
     """Duplicated vectors (with tiny noise) cluster together; unrelated
     random vectors do not."""
