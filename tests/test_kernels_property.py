@@ -140,3 +140,100 @@ def test_class_level_eviction_matches_node_level(texts_pool, st_thr, ct_thr):
     else:
         assert set(got.loc[got["evicted"], "url"]) == exp_evicted
         assert got["guard_skip_kind"].isna().all()
+
+
+# --- repetition profile kernel (round 6: numpy mapInPandas batch) --------
+
+def _ref_rep_stats(text, n):
+    """Direct Counter reference for one doc at one n, with the JVM
+    HALF_UP-on-shortest-repr rounding the kernel pins."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = [w for w in re.split(r"[ \t\n\x0B\f\r]+",
+                                text.lower() if text else "") if w]
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return (0, 0, 0.0, 0.0)
+    c = Counter(grams)
+    total = sum(cnt * len(g) for g, cnt in c.items())
+    dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+    bc, bl = max((cnt, len(g)) for g, cnt in c.items())
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    return (len(grams), len(c), r4(bc * bl / max(total, 1)),
+            r4(dup / max(total, 1)))
+
+
+# small alphabet + repeats guarantee duplicate grams and rounding ties;
+# explicit whitespace varieties exercise the Java-\s tokenizer class
+_rep_texts = st.lists(
+    st.one_of(
+        st.sampled_from(["a", "bb", "ccc", "a a", "bb\tbb", "x\x0By", ""]),
+        st.text(alphabet="ab \t\n", max_size=24),
+    ),
+    min_size=0, max_size=6,
+).map(lambda parts: " ".join(parts))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_rep_texts, min_size=1, max_size=8),
+       st.sampled_from([(1,), (2,), (2, 3, 4)]))
+def test_repetition_profile_batch_matches_reference(batch, ns):
+    import pandas as pd
+
+    from pysparkdedup.repetition import _profile_batch
+
+    pdf = pd.DataFrame({"doc_id": list(range(len(batch))), "text": batch})
+    out = _profile_batch(pdf, ns, "doc_id", "text")
+    for i, text in enumerate(batch):
+        for n in ns:
+            exp = _ref_rep_stats(text, n)
+            got = (int(out["n_grams_%d" % n][i]),
+                   int(out["distinct_grams_%d" % n][i]),
+                   float(out["top_gram_frac_%d" % n][i]),
+                   float(out["dup_gram_frac_%d" % n][i]))
+            assert got == exp, (i, n, text)
+
+
+# --- driver-side union-find (round 6: small-graph components path) -------
+
+def _ref_components(edges):
+    """Naive BFS components; labels = min member per component."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, out = set(), {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            v = frontier.pop()
+            for w in adj[v]:
+                if w not in comp:
+                    comp.add(w)
+                    frontier.append(w)
+        seen |= comp
+        label = min(comp)
+        for v in comp:
+            out[v] = f"cc:{label}"
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).map(
+        lambda p: (f"n{p[0]:02d}", f"n{p[1]:02d}")),
+    min_size=0, max_size=60))
+def test_driver_union_find_matches_naive_components(edges):
+    from pyspark.sql import types as T
+
+    from pysparkdedup.components import _driver_union_find
+
+    rows, _ = _driver_union_find(iter(edges), T.StringType())
+    assert dict(rows) == _ref_components(edges)
