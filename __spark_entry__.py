@@ -605,37 +605,35 @@ def _q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "table_id", "bucket")
 
 
-def _q_embedding_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbor (similarity.ivf_topk) — fully
-    oracle-checked: centroids are the n_list corpus vectors with the
-    smallest Mersenne-31 hash of vec_id (literals in the SQL), inverted-list
-    assignment and nprobe probing rank by (cosine DESC, list_id ASC), exact
-    cosine re-ranks candidates."""
+def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor (similarity.ivf_topk) at BOTH
+    refinement levels in one slot — the SURVEY §8 fold (option 1) of the
+    former embedding_ivf_top1 / embedding_ivf_lloyd_top1 queries, freeing
+    a contract slot under the driver's 50-query cap while keeping both
+    code paths fully oracle-checked. ``vec_id_sampled`` is the lloyd_iters=0
+    result (hash-sampled centroids: the n_list vectors with the smallest
+    Mersenne-31 hash of vec_id, literals in the SQL; inverted-list
+    assignment and nprobe probing rank by (cosine DESC, list_id ASC);
+    exact cosine re-ranks candidates). ``vec_id_lloyd`` is the same search
+    after ONE pinned Lloyd refinement (per-dimension AVG per list; empty
+    lists keep the sampled centroid; verdict r3 #8). Float caveat as for
+    the bucket oracle: mean/cosine reduction order is unspecified on the
+    SQL side, but only integer columns are hashed and rank ties re-score
+    with exact embeddings, so LSB drift is inert. Both searches emit
+    exactly k rows per query over the same (query_id, rank) grid; the
+    full-outer join keeps either side's rows loudly visible as nulls if
+    that invariant ever breaks."""
     from pysparkdedup.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=3, n_list=16, nprobe=4).select(
-        "query_id", "vec_id", "rank")
-
-
-def _q_embedding_ivf_lloyd_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with ONE pinned Lloyd refinement pass (similarity.lloyd_refine,
-    verdict r3 #8) — fully oracle-checked: DuckDB replays the sampled
-    centroids, the rn=1 assignment, the per-dimension AVG mean per list
-    (empty lists keep the sampled centroid), the query re-probe against the
-    REFINED centroids, and the exact-cosine re-rank. Float caveat as for the
-    bucket oracle: mean/cosine reduction order is unspecified on the SQL
-    side, but only integer (query_id, vec_id, rank) columns are hashed and
-    rank ties re-score with exact embeddings, so LSB drift is inert."""
-    from pysparkdedup.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=3, n_list=16, nprobe=4,
-                    lloyd_iters=1).select("query_id", "vec_id", "rank")
+    r0 = ivf_topk(emb, queries, k=3, n_list=16, nprobe=4).select(
+        "query_id", "rank", F.col("vec_id").alias("vec_id_sampled"))
+    r1 = ivf_topk(emb, queries, k=3, n_list=16, nprobe=4,
+                  lloyd_iters=1).select(
+        "query_id", "rank", F.col("vec_id").alias("vec_id_lloyd"))
+    return r0.join(r1, ["query_id", "rank"], "full_outer")
 
 
 def _q_embedding_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,6 +889,34 @@ def _q_tiered_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_kwargs={"n_tables": 16, "n_bits": 6})
 
 
+def _q_pipeline_pass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE end-to-end training-data pipeline (trainpipe.py) — the
+    whole `--mode pipeline` verb as one oracled query: the curation pass
+    (the exact settings curation_pass_docs oracles: planted PII,
+    repetition > 0.15, boilerplate df >= 5, keep-first paragraph dedup,
+    redaction, chunk lines) feeding the tiered dedup cascade (the exact
+    settings tiered_dedup_docs oracles) over the CURATED text. Returns
+    the (url, tier, kept_by) ledger over curation survivors. This is the
+    strongest composition check in the contract: the exact tier hashes
+    the curated bytes, so any drift anywhere in the five curation stages
+    changes the dedup ledger — DuckDB replays curation CTEs piped into
+    the tiered CTEs (the same shared fragments both standalone oracles
+    use, re-sourced onto the curated relation)."""
+    from pysparkdedup.trainpipe import curate_and_dedup
+
+    d = _with_synth_pii(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _cur, ledger = curate_and_dedup(
+        d, DedupConfig(), emb=emb, emb_threshold=0.35,
+        emb_kwargs={"n_tables": 16, "n_bits": 6},
+        curate_kwargs=dict(max_dup_gram_frac=0.15, boilerplate_min_df=5,
+                           dedup_paragraphs=True, redact=True,
+                           line_mode="chunk"),
+        id_col="doc_id", text_col="text")
+    return ledger
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -925,8 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs_docs": _q_minhash_sigs_docs,
         "simhash_sigs_docs": _q_simhash_sigs_docs,
         "embedding_lsh_buckets": _q_embedding_lsh_buckets,
-        "embedding_ivf_top1": _q_embedding_ivf_top1,
-        "embedding_ivf_lloyd_top1": _q_embedding_ivf_lloyd_top1,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
@@ -947,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_summary_docs": _q_pii_summary_docs,
         "curation_pass_docs": _q_curation_pass_docs,
         "tiered_dedup_docs": _q_tiered_dedup_docs,
+        "pipeline_pass_docs": _q_pipeline_pass_docs,
     }
 
 
@@ -1031,13 +1057,15 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _minhash_sig_ctes() -> str:
+def _minhash_sig_ctes(src: str = "documents") -> str:
     """Shared DuckDB CTE chain replaying minhash signatures: token hashes
     (as simhash), k=5 shingle combiner (FNV poly mod 2^64, masked to the
     Mersenne-31 field), then per-permutation min of (a*s + b) mod 2^31-1
     with the ACTUAL seeded permutation params embedded as literals
     (minhash._perm_params, seed from DedupConfig). Ends with table
-    ``msig(url, pos, sig)``."""
+    ``msig(url, pos, sig)``. ``src`` is the (doc_id, text) relation the
+    signatures are computed over — ``documents`` for the standalone
+    oracles, the curated CTE for the pipeline composite."""
     from pysparkdedup.minhash import _perm_params
 
     cfg = DedupConfig()
@@ -1054,7 +1082,7 @@ def _minhash_sig_ctes() -> str:
                    list_filter(regexp_split_to_array(
                        lower(coalesce(text, '')), '[^0-9a-z_]+'),
                        t -> t != '') AS toks
-            FROM documents
+            FROM {src}
         ), h0 AS (
             SELECT url, list_transform(toks,
                 t -> {_xor64(_TOKHASH_POLY, "least(length(t), 24)::HUGEINT")}
@@ -1436,6 +1464,25 @@ def _emb_ivf_lloyd_top1_oracle_sql() -> str:
     """
 
 
+def _emb_ivf_topk_oracle_sql() -> str:
+    """The SURVEY §8 fold of the two IVF oracles into one slot: the
+    lloyd_iters=0 and lloyd_iters=1 replays (each unchanged — see
+    _emb_ivf_top1_oracle_sql / _emb_ivf_lloyd_top1_oracle_sql for the
+    stage-by-stage commentary) full-outer-joined on (query_id, rank),
+    mirroring _q_embedding_ivf_topk's join exactly. Both sides emit k
+    rows per query over the same grid, so the join is 1:1 — a null in
+    either vec_id column is a loud invariant break, not a silent drop."""
+    return f"""
+        SELECT COALESCE(r0.query_id, r1.query_id) AS query_id,
+               COALESCE(r0.rank, r1.rank) AS rank,
+               r0.vec_id AS vec_id_sampled,
+               r1.vec_id AS vec_id_lloyd
+        FROM ({_emb_ivf_top1_oracle_sql()}) r0
+        FULL OUTER JOIN ({_emb_ivf_lloyd_top1_oracle_sql()}) r1
+          ON r0.query_id = r1.query_id AND r0.rank = r1.rank
+    """
+
+
 def _emb_dup_clusters_oracle_sql() -> str:
     """DuckDB replay of similarity.embedding_dup_clusters: buckets ->
     cold-path pairwise candidates (bucket size in [2, 256]) -> exact-cosine
@@ -1560,7 +1607,7 @@ def _repetition_profile_oracle_sql(ns: tuple[int, ...]) -> str:
             + "\n            " + "\n            ".join(joins))
 
 
-def _tiered_oracle_sql() -> str:
+def _tiered_oracle_sql(pre: str = "", src: str = "documents") -> str:
     """DuckDB replay of tiers.tiered_dedup — the three-tier cascade as one
     nested-CTE pipeline over the SAME shared kernel replays the per-tier
     oracles use (signatures are per-doc and corpus-independent, so each
@@ -1577,17 +1624,22 @@ def _tiered_oracle_sql() -> str:
       cap-overflow sentinel posture as the embedding-clusters oracle.
 
     kept_by chain resolution replays tiers._resolve: near losers re-point
-    through semantic losers; exact losers through near then semantic."""
+    through semantic losers; exact losers through near then semantic.
+
+    ``pre`` prepends extra CTEs (trailing comma included by the caller)
+    and ``src`` names the (doc_id, text) relation the cascade runs over —
+    the pipeline composite passes the curated-text CTE so the SAME chain
+    replays dedup-after-curation."""
     cfg = DedupConfig()
     r, b = cfg.lsh_rows, cfg.lsh_bands
     m = min(k for k in range(cfg.num_perm + 1)
             if k / cfg.num_perm >= cfg.jaccard_threshold)
     cos = _DUCK_COSINE.format(x="ea", y="eb")
     return f"""
-        WITH RECURSIVE {_minhash_sig_ctes()},
+        WITH RECURSIVE {pre}{_minhash_sig_ctes(src)},
         {_emb_bucket_ctes(16, 6)},
         docs0 AS (
-            SELECT doc_id::VARCHAR AS url, text FROM documents
+            SELECT doc_id::VARCHAR AS url, text FROM {src}
         ),
         ek AS MATERIALIZED (
             SELECT url,
@@ -1946,22 +1998,29 @@ def _pii_summary_oracle_sql() -> str:
     """
 
 
-def _curation_pass_oracle_sql() -> str:
-    """Replays the full curate_pages composition as nested CTEs, each stage
-    the same SQL fragment its per-stage oracle uses: planted-PII text ->
-    repetition filter (rounded dup_gram_frac > 0.15, matching
-    repetition_stats' rounded output) -> 10-token chunk lines -> boilerplate
-    df >= 5 over the SURVIVORS -> keep-first dedup (row_number over
-    (doc_id, pos); equivalent to the engine's min-(id, pos-within-kept)
-    winner because the boilerplate filter preserves per-doc line order) ->
-    rebuild -> nested regexp_replace redaction in PII_PATTERNS order."""
+def _curation_ctes(id_expr: str = "doc_id") -> tuple[str, str]:
+    """The curate_pages replay as a reusable CTE chain (see
+    _curation_pass_oracle_sql for stage-by-stage commentary). Returns
+    ``(ctes, red)``: the chain ends with ``reb(doc_id, t1)`` (rebuilt
+    pre-redaction text) and ``red`` is the nested regexp_replace
+    expression producing the final curated text from ``t1`` — split out
+    so the pipeline composite can feed the SAME curated text into the
+    tiered-dedup CTEs.
+
+    ``id_expr`` is the doc-id projection from ``documents``. The TYPE
+    matters, not just the value: keep-first paragraph dedup breaks ties
+    by doc_id ORDER, and the pipeline composite runs curation over
+    STRING ids (tiered_dedup's url domain), where '10' < '2' — so that
+    caller passes ``doc_id::VARCHAR`` to pin the same ordering the
+    engine sees, while the standalone curation oracle keeps the int."""
     from pysparkdedup.pii import PII_PATTERNS
 
     red = "t1"
     for kind, pat in PII_PATTERNS.items():
         red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
-    return rf"""
-        WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents),
+    ctes = rf"""
+        aug AS (SELECT {id_expr} AS doc_id, {_pii_aug_sql()} AS t
+                FROM documents),
         toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(t), '\s+'),
@@ -2017,9 +2076,41 @@ def _curation_pass_oracle_sql() -> str:
         ), reb AS (
             SELECT s.doc_id, coalesce(a.t1, '') AS t1
             FROM surv s LEFT JOIN agg a ON a.doc_id = s.doc_id
-        )
+        )"""
+    return ctes, red
+
+
+def _curation_pass_oracle_sql() -> str:
+    """Replays the full curate_pages composition as nested CTEs, each stage
+    the same SQL fragment its per-stage oracle uses: planted-PII text ->
+    repetition filter (rounded dup_gram_frac > 0.15, matching
+    repetition_stats' rounded output) -> 10-token chunk lines -> boilerplate
+    df >= 5 over the SURVIVORS -> keep-first dedup (row_number over
+    (doc_id, pos); equivalent to the engine's min-(id, pos-within-kept)
+    winner because the boilerplate filter preserves per-doc line order) ->
+    rebuild -> nested regexp_replace redaction in PII_PATTERNS order."""
+    ctes, red = _curation_ctes()
+    return f"""
+        WITH {ctes}
         SELECT doc_id, {red} AS curated_text FROM reb
     """
+
+
+def _pipeline_pass_oracle_sql() -> str:
+    """DuckDB replay of trainpipe.curate_and_dedup — the curation CTE chain
+    (_curation_ctes: the exact fragments curation_pass_docs oracles) piped
+    into the tiered-dedup CTE chain (_tiered_oracle_sql: the exact
+    fragments tiered_dedup_docs oracles) via a ``curated(doc_id, text)``
+    relation, so the cascade's exact tier hashes the CURATED bytes, the
+    minhash tier tokenizes them, and the semantic tier's survivor filter
+    restricts embeddings to curation survivors. No CTE-name collisions:
+    the curation chain and the tiered chain use disjoint names (asserted
+    in test_entry_contract)."""
+    ctes, red = _curation_ctes(id_expr="doc_id::VARCHAR")
+    pre = f"""{ctes}, curated AS MATERIALIZED (
+            SELECT doc_id, {red} AS text FROM reb
+        ),"""
+    return _tiered_oracle_sql(pre=pre, src="curated")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2455,13 +2546,13 @@ def oracle_sql() -> dict[str, str]:
         "pii_summary_docs": _pii_summary_oracle_sql(),
         "curation_pass_docs": _curation_pass_oracle_sql(),
         "tiered_dedup_docs": _tiered_oracle_sql(),
+        "pipeline_pass_docs": _pipeline_pass_oracle_sql(),
         "gopher_rules_docs": _gopher_rules_oracle_sql(),
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
         "embedding_lsh_buckets": _emb_buckets_oracle_sql(),
-        "embedding_ivf_top1": _emb_ivf_top1_oracle_sql(),
-        "embedding_ivf_lloyd_top1": _emb_ivf_lloyd_top1_oracle_sql(),
+        "embedding_ivf_topk": _emb_ivf_topk_oracle_sql(),
         "embedding_ann_top1": _emb_ann_top1_oracle_sql(),
         "embedding_dup_clusters": _emb_dup_clusters_oracle_sql(),
         "winnow_fingerprints_docs": r"""

@@ -140,6 +140,25 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
               emb_kwargs={"n_tables": 16, "n_bits": 6})
           .groupBy("tier").count().collect())
 
+    # End-to-end training-data pipeline (added round 6): the curation pass
+    # (repetition filter + boilerplate + keep-first paragraph dedup + PII
+    # redaction) staged once, then the tiered cascade over the CURATED
+    # text — the composed verb a crawl takes into a training set. The
+    # marginal cost vs curation_pass + tiered_dedup is the staging
+    # materialization (trainpipe.py).
+    from pysparkdedup.trainpipe import curate_and_dedup
+
+    def pipeline():
+        _cur, ledger = curate_and_dedup(
+            pages, cfg, emb=emb, emb_threshold=0.35,
+            emb_kwargs={"n_tables": 16, "n_bits": 6},
+            curate_kwargs=dict(max_dup_gram_frac=0.15, boilerplate_min_df=5,
+                               dedup_paragraphs=True, redact=True,
+                               line_mode="chunk"))
+        ledger.groupBy("tier").count().collect()
+
+    bench("pipeline_pass", pipeline)
+
     # Cross-corpus incremental dedup (added round 4): even-url half is the
     # "previous crawl" (signatures computed once, outside the timing — the
     # checkpoint stand-in), odd half is the new batch being flagged.

@@ -46,19 +46,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "mail_box.py:353-397)")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "minhash", "simhash", "hash-only",
-                            "curate", "dedup-against", "tiered"],
+                            "curate", "dedup-against", "tiered", "pipeline"],
                    help="grouping mode (hash-only prints signatures and "
                         "exits, ref cli.py:656-674; curate runs the "
                         "training-data filter pass and writes --output; "
                         "dedup-against flags --input as a NEW batch vs the "
                         "--checkpoint old corpus and writes the verdicts; "
                         "tiered runs the exact->near->semantic cascade and "
-                        "writes the (url, tier, kept_by) ledger)")
+                        "writes the (url, tier, kept_by) ledger; pipeline "
+                        "runs curate THEN tiered over the curated text — "
+                        "ledger to --output, optional --curated-output / "
+                        "--corpus-output)")
     p.add_argument("--embeddings", default=None,
                    help="tiered mode: optional (vec_id, embedding) parquet "
                         "enabling the semantic tier (vec_id matches url)")
     p.add_argument("--emb-threshold", type=float, default=0.95,
                    help="tiered mode: cosine cutoff for the semantic tier")
+    p.add_argument("--curated-output", default=None,
+                   help="pipeline mode: durable parquet for the curated "
+                        "corpus (also serves as the cascade's staging — "
+                        "the 100-TB pattern; omitted = localCheckpoint)")
+    p.add_argument("--corpus-output", default=None,
+                   help="pipeline mode: parquet for the final deduped, "
+                        "curated training corpus (ledger-kept docs only)")
     p.add_argument("--cross-dims", action="store_true",
                    help="hash-only + --checkpoint: also persist the "
                         "old-side exact/band/stats dims so later "
@@ -259,6 +269,36 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.output)).collect()[0].asDict()
             print(json.dumps({k.upper(): v for k, v in row.items()},
                              indent=2))
+            return 0
+
+        if args.mode == "pipeline":
+            if not args.output:
+                parser.error("--mode pipeline requires --output")
+            from .tiers import tier_stats
+            from .trainpipe import curate_and_dedup, surviving_docs
+
+            emb = (spark.read.parquet(args.embeddings)
+                   if args.embeddings else None)
+            curated, ledger = curate_and_dedup(
+                pages, cfg, emb=emb, emb_threshold=args.emb_threshold,
+                curate_kwargs=dict(
+                    max_dup_gram_frac=args.max_dup_gram_frac,
+                    boilerplate_min_df=args.boilerplate_min_df,
+                    dedup_paragraphs=args.dedup_paragraphs,
+                    redact=args.redact_pii,
+                    line_mode=args.line_mode),
+                staging_path=args.curated_output)
+            ledger.write.mode("overwrite").parquet(args.output)
+            led = spark.read.parquet(args.output)
+            if args.corpus_output:
+                surviving_docs(curated, led).write.mode(
+                    "overwrite").parquet(args.corpus_output)
+            row = tier_stats(led).collect()[0].asDict()
+            print(json.dumps({
+                "DOCS_IN": pages.count(),
+                "CURATED": curated.count(),
+                **{k.upper(): v for k, v in row.items()},
+            }, indent=2))
             return 0
 
         if args.mode == "hash-only":
