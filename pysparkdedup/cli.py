@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dedup-paragraphs", action="store_true",
                    help="curate: corpus-wide keep-first line dedup "
                         "(Dolma-style)")
+    p.add_argument("--drop-empty", action="store_true",
+                   help="curate/pipeline modes: drop docs whose final "
+                        "curated text is empty/whitespace-only (incl. docs "
+                        "fully consumed by the line stages)")
     p.add_argument("--redact-pii", action="store_true",
                    help="curate: scrub emails/IPs/phones/cards with typed "
                         "placeholders")
@@ -244,6 +248,7 @@ def main(argv: list[str] | None = None) -> int:
                 boilerplate_min_df=args.boilerplate_min_df,
                 dedup_paragraphs=args.dedup_paragraphs,
                 redact=args.redact_pii,
+                drop_empty=args.drop_empty,
                 line_mode=args.line_mode,
             )
             cur.write.mode("overwrite").parquet(args.output)
@@ -286,6 +291,7 @@ def main(argv: list[str] | None = None) -> int:
                     boilerplate_min_df=args.boilerplate_min_df,
                     dedup_paragraphs=args.dedup_paragraphs,
                     redact=args.redact_pii,
+                    drop_empty=args.drop_empty,
                     line_mode=args.line_mode),
                 staging_path=args.curated_output)
             ledger.write.mode("overwrite").parquet(args.output)

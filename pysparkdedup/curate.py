@@ -57,6 +57,7 @@ def curate_pages(
     boilerplate_min_df: int = 0,
     dedup_paragraphs: bool = False,
     redact: bool = False,
+    drop_empty: bool = False,
     tokens_per_line: int = 10,
     line_mode: str = "chunk",
     id_col: str = "url",
@@ -79,6 +80,15 @@ def curate_pages(
       newline-free corpora; rewrites text in pseudo-line space), or
       ``"auto"`` (per document: real lines when the doc contains ``'\\n'``,
       pseudo-lines otherwise — mixed-crawl safe).
+
+    - ``drop_empty``         : drop documents whose FINAL text has no
+      non-whitespace content — docs fully consumed by the line stages
+      (e.g. an exact duplicate whose every line lost corpus-wide
+      keep-first dedup) as well as docs that arrived empty. The standard
+      tail step of public curation pipelines; matters especially ahead
+      of trainpipe's dedup cascade, where blank docs are unconditional
+      singletons the exact tier cannot collapse. A stateless JVM regexp
+      filter — no shuffle.
 
     Blank (whitespace-only) lines are exempt from both line stages — see
     the module docstring.
@@ -233,5 +243,9 @@ def curate_pages(
         cur = cur.drop(text_col).join(rebuilt, id_col)
     if redact:
         cur = redact_pii(cur, text_col=text_col, out_col=text_col)
+    if drop_empty:
+        # after redaction: placeholders are non-blank, so this keys on the
+        # final bytes either way; null text is dropped too (rlike -> null)
+        cur = cur.filter(F.col(text_col).rlike(r"\S"))
     # preserve the caller's column order (joins append the rebuilt text)
     return cur.select(*pages.columns)

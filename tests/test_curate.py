@@ -133,6 +133,24 @@ def test_newline_paragraph_dedup_keeps_first(spark, pages_factory):
     assert got["u/2"]["text"] == "unique two"
 
 
+def test_drop_empty_removes_fully_consumed_docs(spark, pages_factory):
+    """An exact duplicate loses ALL its lines to corpus-wide keep-first
+    dedup; drop_empty removes the husk (and never-had-text docs) while the
+    default keeps both as empty/None rows."""
+    pages = pages_factory([
+        ("u/1", ts(0), "only paragraph here", "en"),
+        ("u/2", ts(1), "only paragraph here", "en"),  # emptied by keep-first
+        ("u/3", ts(2), None, "en"),
+        ("u/4", ts(3), "   ", "en"),
+    ])
+    kw = dict(dedup_paragraphs=True, line_mode="newline")
+    dflt = by_url(curate_pages(pages, **kw))
+    assert set(dflt) == {"u/1", "u/2", "u/3", "u/4"}
+    assert dflt["u/2"]["text"] == ""
+    got = by_url(curate_pages(pages, drop_empty=True, **kw))
+    assert set(got) == {"u/1"}
+
+
 def test_blank_lines_exempt_from_line_stages(spark, pages_factory):
     """Blank/whitespace-only lines are layout, not dedupable values: even
     though every doc 'shares' the empty line (df = n_docs) and it repeats

@@ -63,6 +63,29 @@ def test_curation_dropped_docs_never_enter_ledger(spark, pages_factory):
     assert "z" not in ledger_map(ledger)
 
 
+def test_drop_empty_closes_the_blank_singleton_hole(spark, pages_factory):
+    """Corpus-wide keep-first paragraph dedup empties an exact duplicate
+    BEFORE the cascade's exact tier can key it (blank docs are
+    unconditional singletons) — without drop_empty the husk survives into
+    the final corpus as an empty doc; with it, curation removes the husk
+    and the ledger never sees it."""
+    pages = pages_factory([
+        ("a", ts(0), "the one shared paragraph", "en"),
+        ("b", ts(1), "the one shared paragraph", "en"),
+        ("c", ts(2), "something else entirely here", "en"),
+    ])
+    kw = dict(dedup_paragraphs=True, line_mode="newline")
+    _, led_default = curate_and_dedup(
+        pages, DedupConfig(), curate_kwargs=dict(**kw))
+    assert ledger_map(led_default)["b"] == ("kept", "b")  # blank husk kept
+    cur, led = curate_and_dedup(
+        pages, DedupConfig(), curate_kwargs=dict(drop_empty=True, **kw))
+    got = ledger_map(led)
+    assert "b" not in got
+    assert set(got) == {"a", "c"}
+    assert {r["url"] for r in surviving_docs(cur, led).collect()} == {"a", "c"}
+
+
 def test_surviving_docs_is_curated_minus_losers(spark, pages_factory):
     pages = pages_factory(rows_boiler())
     curated, ledger = curate_and_dedup(
