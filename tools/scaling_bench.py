@@ -28,6 +28,9 @@ Jobs (5th positional arg, default ``neardup``):
 - ``tiered``: the tiered dedup cascade (tiers.tiered_dedup) — exact ->
   MinHash-near -> embedding-semantic over hash-derived deterministic
   vectors for a tenth of the corpus; crc over (url, tier, kept_by).
+- ``pipeline``: the composed verb (trainpipe.curate_and_dedup) — the
+  curate job feeding the tiered job over the CURATED text (+ drop_empty);
+  crc over the final ledger.
 
 Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [runs] [job]
 Writes bench_scaling.json (neardup) / bench_scaling_curate.json (curate)
@@ -144,8 +147,45 @@ def _job_tiered(spark, path: str):
     return int(row["n"]), int(row["crc"])
 
 
+def _job_pipeline(spark, path: str):
+    """The composed verb (trainpipe.curate_and_dedup): the curate job's
+    settings feeding the tiered job's cascade over the CURATED text, with
+    the same hash-derived deterministic embeddings as _job_tiered;
+    drop_empty closes the blank-husk hole keep-first dedup opens ahead of
+    the exact tier. crc over the final ledger."""
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.config import DedupConfig
+    from pysparkdedup.trainpipe import curate_and_dedup
+
+    cfg = DedupConfig()
+    pages = spark.read.parquet(path)
+    emb = (
+        pages.filter(F.crc32("url") % 10 == 0)
+        .select(
+            F.col("url").alias("vec_id"),
+            F.array(*[
+                ((F.xxhash64("url", F.lit(d)) % 1000) / 500.0 - 1.0)
+                .cast("float") for d in range(16)
+            ]).alias("embedding"),
+        )
+    )
+    _cur, ledger = curate_and_dedup(
+        pages, cfg, emb=emb, emb_threshold=0.95,
+        curate_kwargs=dict(max_dup_gram_frac=0.3, boilerplate_min_df=20,
+                           dedup_paragraphs=True, redact=True,
+                           drop_empty=True, line_mode="chunk"))
+    row = (
+        ledger.withColumn(
+            "line", F.concat_ws("\x1f", "url", "tier", "kept_by"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.crc32("line")).alias("crc"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["crc"])
+
+
 JOBS = {"neardup": _job_neardup, "curate": _job_curate,
-        "tiered": _job_tiered}
+        "tiered": _job_tiered, "pipeline": _job_pipeline}
 
 
 def worker(cpus: int, runs: int = 3, job: str = "neardup") -> None:
