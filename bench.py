@@ -207,6 +207,7 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
         "minhash_cluster": _minhash_stage_times(pages, cfg),
         "simhash_cluster": _simhash_stage_times(pages, cfg),
         "tiered_dedup": _tiered_stage_times(pages, emb, cfg),
+        "pipeline_pass": _pipeline_stage_times(pages, emb, cfg),
     }
 
     pages.unpersist()
@@ -267,6 +268,36 @@ def _tiered_stage_times(pages, emb, cfg) -> dict[str, float]:
                 F.col("url").alias("kept_by")))
     ledger.unionByName(kept).groupBy("tier").count().collect()
     lap("ledger")
+    return st
+
+
+def _pipeline_stage_times(pages, emb, cfg) -> dict[str, float]:
+    """Two-lap split of the composed verb: the curation pass up to and
+    including its staging materialization (the barrier the composition
+    adds) vs the tiered cascade over the staged frame — so a pipeline
+    regression localizes to one half, and the cascade lap is directly
+    comparable to the standalone tiered_dedup headline."""
+    from pysparkdedup.curate import curate_pages
+    from pysparkdedup.tiers import tiered_dedup
+
+    st: dict[str, float] = {}
+    t = time.perf_counter()
+
+    def lap(name):
+        nonlocal t
+        now = time.perf_counter()
+        st[name] = round(now - t, 3)
+        t = now
+
+    cur = curate_pages(
+        pages, max_dup_gram_frac=0.15, boilerplate_min_df=5,
+        dedup_paragraphs=True, redact=True,
+        line_mode="chunk").localCheckpoint(eager=True)
+    lap("curate_stage")
+    tiered_dedup(cur, cfg, emb=emb, emb_threshold=0.35,
+                 emb_kwargs={"n_tables": 16, "n_bits": 6}
+                 ).groupBy("tier").count().collect()
+    lap("cascade")
     return st
 
 
