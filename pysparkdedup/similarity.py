@@ -70,23 +70,46 @@ def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
         T.StructField("cosine", T.DoubleType(), True),
     ])
 
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        ea = np.vstack(pdf["_ea"].to_numpy()).astype(np.float64)
+        eb = np.vstack(pdf["_eb"].to_numpy()).astype(np.float64)
+        dot = np.zeros(len(pdf), np.float64)
+        na = np.zeros(len(pdf), np.float64)
+        nb = np.zeros(len(pdf), np.float64)
+        for d in range(ea.shape[1]):  # ordered left fold per dim
+            ca, cb = ea[:, d], eb[:, d]
+            dot += ca * cb
+            na += ca * ca
+            nb += cb * cb
+        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "cosine": cos})
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ea = np.vstack(pdf["_ea"].to_numpy()).astype(np.float64)
-            eb = np.vstack(pdf["_eb"].to_numpy()).astype(np.float64)
-            dot = np.zeros(len(pdf), np.float64)
-            na = np.zeros(len(pdf), np.float64)
-            nb = np.zeros(len(pdf), np.float64)
-            for d in range(ea.shape[1]):  # ordered left fold per dim
-                ca, cb = ea[:, d], eb[:, d]
-                dot += ca * cb
-                na += ca * ca
-                nb += cb * cb
-            cos = dot / (np.sqrt(na) * np.sqrt(nb))
-            yield pd.DataFrame(
-                {"a": pdf["a"], "b": pdf["b"], "cosine": cos})
+            try:
+                # Fast path: clean batch, one vstack per side.
+                yield _fold(pdf)
+                continue
+            except (ValueError, TypeError):
+                pass
+            # Dirty batch: a null or ragged embedding broke the vstack.
+            # cosine_col's column algebra yields a null cosine for such a
+            # pair (zip_with null-pads, aggregate propagates null) and the
+            # caller's threshold filter drops it — reproduce that: drop
+            # pairs with a missing side or mismatched lengths, score the
+            # rest grouped by (shared) length. One dirty row must not
+            # abort a 100-TB job.
+            lens_a = np.fromiter(
+                (len(v) if v is not None else -1
+                 for v in pdf["_ea"].to_numpy()), np.int64, len(pdf))
+            lens_b = np.fromiter(
+                (len(v) if v is not None else -1
+                 for v in pdf["_eb"].to_numpy()), np.int64, len(pdf))
+            keep = (lens_a > 0) & (lens_a == lens_b)
+            for length in np.unique(lens_a[keep]):
+                yield _fold(pdf[keep & (lens_a == length)])
 
     ea = emb.select(F.col(id_col).alias("a"), F.col(emb_col).alias("_ea"))
     eb = emb.select(F.col(id_col).alias("b"), F.col(emb_col).alias("_eb"))

@@ -66,9 +66,23 @@ def _exact_losers(pages: DataFrame, cfg: DedupConfig, id_col: str,
     deduplicate.py:164-178), so ``--hash-body raw`` keeps whitespace-only
     variants distinct here exactly as it does in ``--mode exact``.
     Null/blank docs key on their own url regardless of mode: they are
-    unconditional singletons (and sha2('') never becomes a mega-group)."""
+    unconditional singletons (and sha2('') never becomes a mega-group).
+
+    ``skip`` mode keys on the metadata tuple (lang, warc_ts day, first
+    line — normalize.metadata_hash), never the body: the frame must carry
+    ``lang``/``warc_ts``, checked eagerly here so a bare (url, text)
+    frame fails with a named-column error at call time instead of an
+    unresolved-attribute AnalysisException deep in the cascade plan."""
+    from .config import CONTENT_HASH_SKIP
     from .normalize import content_hash_expr
 
+    if cfg.content_hash_mode == CONTENT_HASH_SKIP:
+        missing = [c for c in ("lang", "warc_ts") if c not in pages.columns]
+        if missing:
+            raise ValueError(
+                f"content_hash_mode='skip' keys on metadata columns, but the "
+                f"input frame is missing {missing}; provide them (they may "
+                f"be null) or use content_hash_mode='raw'/'normalized'")
     text = F.col(text_col)
     key = F.when(
         text.isNull() | (F.length(F.trim(text)) == 0), F.col(id_col)
@@ -118,6 +132,7 @@ def tiered_dedup(
     text_col: str = "text",
     emb_id_col: str = "vec_id",
     reliable: bool = False,
+    on_stage=None,
 ) -> DataFrame:
     """Run the tier cascade over ``pages``; returns the dedup ledger
     ``(url, tier, kept_by)`` with one row per input document.
@@ -140,6 +155,11 @@ def tiered_dedup(
     cached: survivors are re-derived by column-pruned anti-joins against
     the materialized maps, the right call when the input is 100 TB and
     the maps are two string columns.
+
+    ``on_stage`` (optional) is called with the tier name ('exact', 'near',
+    'semantic') right after that tier's loser map is eagerly materialized —
+    a timing hook so instrumentation (bench.py's per-tier breakdown) runs
+    THIS implementation instead of a parallel copy of the wiring.
     """
     from .minhash import minhash_clusters
 
@@ -150,31 +170,46 @@ def tiered_dedup(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def stage(name: str) -> None:
+        if on_stage is not None:
+            on_stage(name)
+
     base = pages.select(F.col(id_col).alias("url"), F.col(text_col),
                         *[c for c in pages.columns
                           if c not in (id_col, text_col)])
 
     # Tier 1: exact. Losers leave the pool before any shingle is hashed.
     l_exact = materialize(_exact_losers(pages, cfg, id_col, text_col))
+    stage(TIER_EXACT)
     surv1 = base.join(l_exact.select("url"), "url", "left_anti")
 
     # Tier 2: near-dup over exact survivors only.
     near_clusters = minhash_clusters(surv1, cfg)
     l_near = materialize(_cluster_losers(near_clusters))
+    stage(TIER_NEAR)
     surv2 = surv1.join(l_near.select("url"), "url", "left_anti")
 
     # Tier 3: semantic over what's left, if embeddings are available.
     if emb is not None:
         from .similarity import embedding_dup_clusters
 
-        sub = emb.withColumn("url", F.col(emb_id_col).cast("string")).join(
-            surv2.select("url"), "url").drop("url")
+        # Materialize the survivor-embedding frame: embedding_dup_clusters
+        # consumes it four times (auto-banding count, LSH buckets, and both
+        # sides of the candidate-pair cosine join), and its lineage is two
+        # corpus-wide anti-joins over the embedding scan — without the
+        # barrier each consumer re-derives the survivor pool. Unlike the
+        # text corpus (never cached), this frame is slim: id + vector,
+        # ~1-2% of corpus bytes at web scale.
+        sub = materialize(
+            emb.withColumn("url", F.col(emb_id_col).cast("string")).join(
+                surv2.select("url"), "url").drop("url"))
         sem_clusters = embedding_dup_clusters(
             sub, emb_threshold, id_col=emb_id_col, **(emb_kwargs or {}))
         l_sem = materialize(_cluster_losers(sem_clusters))
     else:
         l_sem = pages.sparkSession.createDataFrame(
             [], "url string, kept_by string")
+    stage(TIER_SEMANTIC)
 
     # Chain resolution, latest tier first: near losers may point at a
     # semantic loser; exact losers at a near OR semantic loser.

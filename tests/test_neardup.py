@@ -287,3 +287,20 @@ def test_cache_scope_unpersists(spark, pages_factory):
     kept.count()
     assert kept.storageLevel.useMemory
     kept.unpersist()
+
+
+def test_zero_small_graph_threshold_forces_distributed_even_when_empty(
+        spark, monkeypatch):
+    """small_graph_edges=0 is the documented escape hatch to the distributed
+    fixpoint; it must hold even for an empty edge frame (0 <= 0 would
+    otherwise take the driver path and plan-gating tests would silently
+    test the wrong code path)."""
+    import pysparkdedup.components as components_mod
+
+    def boom(*args, **kwargs):
+        raise AssertionError("driver union-find taken despite threshold 0")
+
+    monkeypatch.setattr(components_mod, "_driver_union_find", boom)
+    empty = spark.createDataFrame([], "a string, b string")
+    out = components_mod.connected_components(empty, small_graph_edges=0)
+    assert out.count() == 0

@@ -210,3 +210,40 @@ def test_no_cartesian_in_plan(spark, tier_pages):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skip_mode_requires_metadata_columns(spark, pages_factory):
+    """content_hash_mode='skip' keys on (lang, warc_ts, first line): a bare
+    (url, text) frame fails eagerly with the missing columns named, not
+    with an unresolved-attribute AnalysisException at action time; a frame
+    carrying the columns works and keys on the metadata tuple."""
+    bare = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "alpha beta")], "url string, text string")
+    with pytest.raises(ValueError, match=r"lang.*warc_ts|warc_ts.*lang"):
+        tiered_dedup(bare, DedupConfig(content_hash_mode="skip"))
+    pages = pages_factory([
+        ("a", ts(0), "Title\nbody one here", "en"),
+        ("b", ts(0), "Title\nbody two here", "en"),   # same day+lang+title
+        ("c", ts(0), "Other\nbody one here", "en"),   # different first line
+    ])
+    got = ledger_map(tiered_dedup(
+        pages, DedupConfig(content_hash_mode="skip")))
+    assert got["b"] == ("exact", "a")   # metadata tuple collides
+    assert got["c"][0] == "kept"
+
+
+def test_on_stage_hook_fires_in_tier_order(spark, tier_pages):
+    """The instrumentation hook (bench.py's per-tier laps) sees each tier
+    exactly once, in cascade order, and its presence does not change the
+    ledger."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (5, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    kwargs = dict(emb=emb, emb_threshold=0.99,
+                  emb_kwargs={"n_tables": 4, "n_bits": 2})
+    seen = []
+    with_hook = ledger_map(tiered_dedup(
+        tier_pages, DedupConfig(), on_stage=seen.append, **kwargs))
+    assert seen == ["exact", "near", "semantic"]
+    without = ledger_map(tiered_dedup(tier_pages, DedupConfig(), **kwargs))
+    assert with_hook == without
