@@ -390,8 +390,20 @@ class SignatureCheckpoint:
         if not all(k in manifest for k in ("exact_dim", "bands",
                                            "band_stats")):
             return None
-        if manifest.get("banding") != {"lsh_bands": cfg.lsh_bands,
-                                       "lsh_rows": cfg.lsh_rows}:
+        banding = manifest.get("banding")
+        if banding is None:
+            # Legacy manifest (committed before banding was recorded):
+            # the layout the dims were banded under is unknown, so they
+            # cannot be trusted — but say so instead of silently
+            # re-deriving every run on an otherwise-valid checkpoint.
+            import warnings
+            warnings.warn(
+                f"checkpoint {self.path}: manifest predates banding "
+                "metadata; cross dims will be re-derived (re-commit with "
+                "cross_dims=True to refresh)", stacklevel=2)
+            return None
+        if banding != {"lsh_bands": cfg.lsh_bands,
+                       "lsh_rows": cfg.lsh_rows}:
             return None
         return {
             "exact_dim": spark.read.parquet(

@@ -119,8 +119,11 @@ def _round4_half_up(x: float) -> float:
     with HALF_UP. numpy's half-to-even (and plain float tricks like
     floor(x*1e4+0.5), which misreads near-tie doubles) would drift on
     .xxxx5 boundaries, and the DuckDB oracle replays exact rounded values,
-    so the JVM semantics are pinned explicitly here."""
-    return float(Decimal(repr(x)).quantize(_Q4, rounding=ROUND_HALF_UP))
+    so the JVM semantics are pinned explicitly here.
+
+    ``float(x)`` first: numpy 2.x scalars repr as ``np.float64(0.5)``,
+    which Decimal rejects; float() keeps the shortest-round-trip repr."""
+    return float(Decimal(repr(float(x))).quantize(_Q4, rounding=ROUND_HALF_UP))
 
 
 def _profile_batch(pdf: pd.DataFrame, ns: tuple[int, ...],

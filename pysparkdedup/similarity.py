@@ -89,11 +89,17 @@ def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
             if pdf.empty:
                 continue
             try:
-                # Fast path: clean batch, one vstack per side.
-                yield _fold(pdf)
-                continue
+                # Fast path: clean batch, one vstack per side. Only
+                # _fold's own failure means a dirty batch — yield outside
+                # the try so an exception thrown INTO the generator at the
+                # yield point (consumer/Arrow errors) propagates instead
+                # of silently re-scoring the batch via the fallback.
+                out = _fold(pdf)
             except (ValueError, TypeError):
-                pass
+                out = None
+            if out is not None:
+                yield out
+                continue
             # Dirty batch: a null or ragged embedding broke the vstack.
             # cosine_col's column algebra yields a null cosine for such a
             # pair (zip_with null-pads, aggregate propagates null) and the

@@ -175,6 +175,36 @@ def test_load_cross_dims_refused_on_rebanding(old_new, tmp_path):
     assert warm["new/near"]["status"] == "near_dup"
 
 
+def test_load_cross_dims_legacy_manifest_warns(old_new, tmp_path):
+    """A manifest committed before banding metadata existed has no
+    'banding' key — the dims' layout is unknown, so they are refused,
+    but OBSERVABLY (a warning), not as a silent warm-path regression."""
+    import json
+    import warnings as _w
+
+    from pysparkdedup.checkpoint import (
+        SignatureCheckpoint, signatures_with_checkpoint)
+
+    old, _ = old_new
+    cfg = DedupConfig()
+    path = str(tmp_path / "legacy")
+    signatures_with_checkpoint(old, cfg, path, cross_dims=True)
+    ckpt = SignatureCheckpoint(path)
+    mpath = ckpt._manifest_path()
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    del manifest["banding"]
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh, indent=2, default=str)
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert ckpt.load_cross_dims(old.sparkSession, cfg) is None
+    assert any("predates banding" in str(w.message) for w in caught)
+    # the signatures themselves are still served
+    assert ckpt.load(old.sparkSession, cfg) is not None
+
+
 def test_dedup_against_checkpoint_raises_on_missing(old_new, tmp_path):
     from pysparkdedup.crosscorpus import dedup_against_checkpoint
 

@@ -180,6 +180,24 @@ def test_half_up_rounding_pinned(spark):
     assert got[1]["top_gram_frac"] == 0.0313   # HALF_UP, not 0.0312
 
 
+def test_half_up_survives_numpy2_scalar_repr():
+    """numpy >= 2.0 reprs scalars as 'np.float64(0.5)', which Decimal
+    rejects — _round4_half_up must coerce through float() (shortest
+    round-trip repr preserved) before Decimal. Pinned with a stand-in
+    whose repr mimics numpy 2.x, so the guard holds on numpy 1.26 too."""
+    import numpy as np
+
+    from pysparkdedup.repetition import _round4_half_up
+
+    class Np2Scalar(float):
+        def __repr__(self):
+            return f"np.float64({float.__repr__(self)})"
+
+    assert _round4_half_up(Np2Scalar(0.03125)) == 0.0313
+    assert _round4_half_up(np.float64(0.03125)) == 0.0313
+    assert _round4_half_up(0.12344999999999999) == 0.1234
+
+
 def test_repetition_profile_multi_n(spark):
     """repetition_profile(ns=(2,3,4)) returns the full Gopher family in
     one pass, each n's columns equal to the standalone repetition_stats
