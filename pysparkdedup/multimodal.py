@@ -439,10 +439,169 @@ def sample_frames(df: DataFrame, payload_col: str = "html",
 
 def exact_binary_dedup(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Exact media dedup: group by payload sha2 — the binary analog of the
-    text content-hash groupBy."""
+    text content-hash groupBy. Catches byte-identical copies only; for
+    re-encoded/resized copies (the dominant duplicate class in multimodal
+    training data) see ``image_dup_clusters`` (perceptual dHash)."""
     return (
         df.withColumn("payload_sha", F.sha2(F.col(payload_col), 256))
         .groupBy("payload_sha")
         .agg(F.count(F.lit(1)).alias("n_copies"),
              F.min("url").alias("kept_url"))
     )
+
+
+def png_encode_gray(w: int, h: int, gray: bytes) -> bytes:
+    """Pure-stdlib 8-bit grayscale PNG encode (color type 0, filter 0
+    scanlines, one zlib IDAT, valid chunk CRCs). Round-trips bit-exactly
+    through ``png_decode_gray`` AND Pillow — the synthesis side of the
+    codec-less test path."""
+    import zlib
+
+    if len(gray) != w * h:
+        raise ValueError(f"gray must be w*h={w * h} bytes, got {len(gray)}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + gray[y * w:(y + 1) * w] for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines))
+            + chunk(b"IEND", b""))
+
+
+# dHash grid: 9 columns x 8 rows of box-resampled grayscale -> 8 horizontal
+# gradient comparisons per row = 64 bits. Bit j = y*8 + x is set iff
+# grid[y, x] > grid[y, x+1] (little-endian packing, two's-complement long —
+# the same layout simhash uses, so the DuckDB HUGEINT replay is shared).
+DHASH_GRID = (9, 8)
+
+_DHASH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("dhash", T.LongType(), True),
+])
+
+
+def image_dhash(df: DataFrame, payload_col: str = "html",
+                id_col: str = "url", fake_decode: bool = False) -> DataFrame:
+    """(id, dhash long): 64-bit perceptual difference-hash per image.
+
+    Decode (Pillow any-codec, else stdlib PNG — bit-identical pixels) ->
+    deterministic 9x8 box resample (``_resample_gray``, environment-
+    independent) -> horizontal gradient sign bits. Robust to re-encoding
+    and resizing (the gradient GRID is scale-free: an N-times upscaled
+    copy box-resamples to the identical 9x8 grid), which exact binary
+    dedup cannot see. ``fake_decode=True`` keeps a deterministic
+    bytes-digest fake for codec-less plumbing tests (non-PNG payloads
+    without Pillow). Null payloads hash to null."""
+    import numpy as np
+
+    tw, th = DHASH_GRID
+    schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("dhash", T.LongType(), True),
+    ])
+
+    def _hash_one(payload: bytes) -> int:
+        if fake_decode:
+            digest = hashlib.blake2b(payload, digest_size=8).digest()
+            return int(np.frombuffer(digest, np.uint64)[0].astype(np.int64))
+        w, h, gray = _decode_gray(payload)
+        grid = np.frombuffer(
+            _resample_gray(gray, w, h, tw, th), np.uint8).reshape(th, tw)
+        bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint8)  # (th, tw-1)
+        packed = np.packbits(bits.reshape(-1), bitorder="little")
+        return int(packed.view(np.uint64)[0].astype(np.int64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = pd.array(
+                [None if payload is None else _hash_one(bytes(payload))
+                 for payload in pdf[payload_col].tolist()],
+                dtype="Int64")
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": vals})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def dhash_blocks(sig_df: DataFrame, hamming_threshold: int,
+                 id_col: str = "url") -> DataFrame:
+    """(id, block_id, block_val): (k+1) pigeonhole blocks of the dhash —
+    any pair within Hamming distance k agrees exactly on at least one
+    block, so the block equi-join has EXACT recall (same trick as
+    simhash.simhash_blocks, parametrized for the image threshold)."""
+    n_blocks = hamming_threshold + 1
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    return sig_df.filter(F.col("dhash").isNotNull()).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), "
+                f"i -> shiftrightunsigned(dhash, i * {width}) & {mask}L)"
+            )
+        ).alias("block_id", "block_val"),
+    )
+
+
+def image_dup_edges(df: DataFrame, payload_col: str = "html",
+                    id_col: str = "url", hamming_threshold: int = 4,
+                    max_bucket_size: int = 256,
+                    sigs: DataFrame | None = None,
+                    fake_decode: bool = False) -> DataFrame:
+    """Verified perceptual-duplicate edges (a, b, hamming) with
+    hamming <= threshold. dHash signatures persisted once (they feed
+    blocking AND both verify-join sides); candidates come from the
+    skew-capped pigeonhole bucket join — never all-pairs — and the verify
+    is JVM ``bit_count(xor)``. Pass ``sigs`` (id, dhash) to reuse
+    precomputed signatures."""
+    from pyspark import StorageLevel
+
+    from .cache import track
+    from .pairs import bucket_pairs
+
+    if sigs is None:
+        sigs = image_dhash(df, payload_col=payload_col, id_col=id_col,
+                           fake_decode=fake_decode)
+    sigs = track(
+        sigs.select(id_col, "dhash").persist(StorageLevel.MEMORY_AND_DISK))
+    blocks = dhash_blocks(sigs, hamming_threshold, id_col=id_col)
+    pairs = bucket_pairs(
+        blocks, ["block_id", "block_val"], id_col=id_col,
+        cap=max_bucket_size,
+    ).dropDuplicates(["a", "b"])
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("dhash").alias("_ha"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("dhash").alias("_hb"))
+    scored = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+    )
+    return scored.filter(F.col("hamming") <= hamming_threshold).select(
+        "a", "b", "hamming")
+
+
+def image_dup_clusters(df: DataFrame, payload_col: str = "html",
+                       id_col: str = "url", hamming_threshold: int = 4,
+                       max_bucket_size: int = 256,
+                       sigs: DataFrame | None = None,
+                       fake_decode: bool = False) -> DataFrame:
+    """(id, cluster_key) for perceptual image-duplicate components —
+    cluster_key = min id of the component (numeric min for numeric ids,
+    string min for string ids — deterministic at any parallelism). Only
+    images that appear in a verified edge are returned; the caller
+    left-joins and coalesces to self for singleton rows."""
+    from .cache import cache_scope
+    from .components import connected_components
+
+    with cache_scope():
+        out = connected_components(
+            image_dup_edges(df, payload_col=payload_col, id_col=id_col,
+                            hamming_threshold=hamming_threshold,
+                            max_bucket_size=max_bucket_size, sigs=sigs,
+                            fake_decode=fake_decode).select("a", "b"))
+    return out.select(F.col("url").alias(id_col),
+                      F.col("cluster_key")) if id_col != "url" else out

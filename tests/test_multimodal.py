@@ -329,3 +329,174 @@ def test_non_png_without_pil_still_raises(pages_factory):
 
     with pytest.raises(NotImplementedError, match="PNG only"):
         png_decode_gray(b"\xff\xd8not-a-png-payload")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (dHash) — round 7
+# ---------------------------------------------------------------------------
+
+def _pix(i, x, y):
+    """Deterministic non-linear pixel value for synthetic image i: blake2b of
+    (i, x, y). Non-linearity matters — an affine formula makes every image's
+    horizontal gradient signs identical, collapsing all dhashes to one."""
+    import hashlib
+
+    return hashlib.blake2b(
+        b"%d:%d:%d" % (i, x, y), digest_size=1).digest()[0]
+
+
+def _grid_bytes(i, w=9, h=8):
+    return bytes(_pix(i, x, y) for y in range(h) for x in range(w))
+
+
+def _upscale(gray, w, h, s):
+    import numpy as np
+
+    a = np.frombuffer(gray, np.uint8).reshape(h, w)
+    return np.kron(a, np.ones((s, s), np.uint8)).tobytes()
+
+
+def test_png_encode_gray_roundtrip():
+    """png_encode_gray -> png_decode_gray is the identity on (w, h, pixels),
+    and Pillow (when present) decodes the same bytes to the same pixels."""
+    from pysparkdedup.multimodal import png_decode_gray, png_encode_gray
+
+    gray = _grid_bytes(7, 9, 8)
+    png = png_encode_gray(9, 8, gray)
+    assert png_decode_gray(png) == (9, 8, gray)
+    if _have_pil():
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(png)).convert("L")
+        assert (img.width, img.height, img.tobytes()) == (9, 8, gray)
+    with pytest.raises(ValueError, match="w\\*h"):
+        png_encode_gray(3, 3, b"\x00" * 8)
+
+
+def test_image_dhash_upscale_invariant(spark):
+    """A 2x- or 3x-upscaled copy box-resamples to the identical 9x8 grid, so
+    its dhash is bit-identical to the base image — the re-encoded/resized
+    duplicate class exact_binary_dedup cannot see."""
+    from pysparkdedup.multimodal import image_dhash, png_encode_gray
+
+    rows = []
+    for i in range(6):
+        g = _grid_bytes(i)
+        rows.append((f"img{i}_base", png_encode_gray(9, 8, g)))
+        rows.append((f"img{i}_up2", png_encode_gray(18, 16, _upscale(g, 9, 8, 2))))
+        rows.append((f"img{i}_up3", png_encode_gray(27, 24, _upscale(g, 9, 8, 3))))
+    rows.append(("img_null", None))
+    df = spark.createDataFrame(rows, ["url", "html"])
+    sigs = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert sigs["img_null"] is None
+    for i in range(6):
+        assert sigs[f"img{i}_base"] == sigs[f"img{i}_up2"]
+        assert sigs[f"img{i}_base"] == sigs[f"img{i}_up3"]
+    # distinct base images must not all collide
+    assert len({sigs[f"img{i}_base"] for i in range(6)}) == 6
+
+
+def test_image_dhash_kernel_bit_layout():
+    """Pin the bit packing: bit (y*8 + x) set iff grid[y,x] > grid[y,x+1],
+    little-endian into a signed two's-complement long — the layout the
+    DuckDB HUGEINT oracle replays."""
+    import numpy as np
+
+    from pysparkdedup.multimodal import (
+        DHASH_GRID, _resample_gray, png_decode_gray, png_encode_gray,
+    )
+
+    gray = _grid_bytes(3)
+    w, h, dec = png_decode_gray(png_encode_gray(9, 8, gray))
+    grid = np.frombuffer(
+        _resample_gray(dec, w, h, *DHASH_GRID), np.uint8).reshape(8, 9)
+    expect = 0
+    for y in range(8):
+        for x in range(8):
+            if grid[y, x] > grid[y, x + 1]:
+                expect |= 1 << (y * 8 + x)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    # replicate _hash_one's numpy packing
+    bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    assert int(packed.view(np.uint64)[0].astype(np.int64)) == expect
+
+
+def test_dhash_blocks_pigeonhole_exact():
+    """Any two hashes within Hamming distance k agree on >= 1 of the k+1
+    blocks (pigeonhole) — brute-checked over planted bit flips at every
+    position, plus a negative: k+1 flips spread one per block can miss."""
+    k = 4
+    n_blocks, width = k + 1, 64 // (k + 1)
+
+    def blocks(sig):
+        u = sig & 0xFFFFFFFFFFFFFFFF
+        return [(u >> (i * width)) & ((1 << width) - 1)
+                for i in range(n_blocks)]
+
+    base = 0x1234_5678_9ABC_DEF0
+    for flip_positions in ([3], [0, 63], [5, 17, 29, 41]):
+        other = base
+        for p in flip_positions:
+            other ^= 1 << p
+        shared = [i for i in range(n_blocks)
+                  if blocks(base)[i] == blocks(other)[i]]
+        assert shared, f"no shared block for flips {flip_positions}"
+    miss = base
+    for i in range(n_blocks):
+        miss ^= 1 << (i * width)  # one flip inside every block
+    assert not [i for i in range(n_blocks)
+                if blocks(base)[i] == blocks(miss)[i]]
+
+
+def test_image_dup_clusters_planted_recall(spark):
+    """Planted resized/re-encoded copies cluster with their base image;
+    unrelated images stay apart. Runs the REAL decode path end-to-end."""
+    from pysparkdedup.multimodal import (
+        image_dup_clusters, image_dup_edges, png_encode_gray,
+    )
+
+    rows, want = [], {}
+    for i in range(12):
+        g = _grid_bytes(i)
+        base = f"img{i:02d}_base"
+        rows.append((base, png_encode_gray(9, 8, g)))
+        if i % 3 == 0:
+            rows.append((f"img{i:02d}_up2",
+                         png_encode_gray(18, 16, _upscale(g, 9, 8, 2))))
+            want[f"img{i:02d}_up2"] = base
+        if i % 4 == 0:
+            rows.append((f"img{i:02d}_up4",
+                         png_encode_gray(36, 32, _upscale(g, 9, 8, 4))))
+            want[f"img{i:02d}_up4"] = base
+    df = spark.createDataFrame(rows, ["url", "html"])
+
+    edges = image_dup_edges(df, hamming_threshold=2).collect()
+    assert all(e["hamming"] <= 2 for e in edges)
+
+    got = {r["url"]: r["cluster_key"]
+           for r in image_dup_clusters(df, hamming_threshold=2).collect()}
+    for copy, base in want.items():
+        assert got[copy] == got[base], (copy, base)
+    # distinct-base clusters never merge: cluster count == planted families
+    assert len(set(got.values())) == len({*want.values()})
+
+
+def test_image_dhash_fake_decode_plumbing(pages_factory):
+    """fake_decode keeps the codec-less plumbing path testable on opaque
+    payloads: deterministic per-bytes, distinct across payloads."""
+    from pysparkdedup.multimodal import image_dhash
+    from tests.conftest import ts
+
+    df = pages_factory([
+        ("u/a", ts(0), "same-bytes", "en"),
+        ("u/b", ts(1), "same-bytes", "en"),
+        ("u/c", ts(2), "other-bytes", "en"),
+    ])
+    sigs = {r["url"]: r["dhash"]
+            for r in image_dhash(df, fake_decode=True).collect()}
+    assert sigs["u/a"] == sigs["u/b"]
+    assert sigs["u/a"] != sigs["u/c"]
