@@ -404,14 +404,36 @@ def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
     return j.filter(pred).select(*cols)
 
 
-def _q_select_older_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select-older / discard-newest (ref strategy.py:56-69)."""
-    return _strategy_over_events("select-older", spark, sf_dir, with_ts=True)
+def _q_select_older_newer_per_user(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """BOTH timestamp-threshold twins in one query (SURVEY §8 fold option 2,
+    consolidated under the driver's 50-query budget, freeing the slot
+    image_dup_docs occupies): select-older / discard-newest (ref
+    strategy.py:56-69) and select-newer / discard-oldest (ref
+    strategy.py:86-99) as boolean columns from strategy._predicate over the
+    shared group extremes — the select_paths pattern. One row per event, so
+    both predicates stay visible on every row instead of as filtered
+    subsets."""
+    from pysparkdedup.groupagg import with_group_stats
+    from pysparkdedup.strategy import _predicate
 
-
-def _q_select_newer_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select-newer / discard-oldest (ref strategy.py:86-99)."""
-    return _strategy_over_events("select-newer", spark, sf_dir, with_ts=True)
+    e = _events(spark, sf_dir)
+    j = with_group_stats(e, "user_id", [
+        F.min("ts").alias("_min_ts"), F.max("ts").alias("_max_ts"),
+        F.min("value").alias("_min_size"), F.max("value").alias("_max_size"),
+        F.min("event_id").alias("_min_id"),
+    ])
+    g = {"min_ts": F.col("_min_ts"), "max_ts": F.col("_max_ts"),
+         "min_size": F.col("_min_size"), "max_size": F.col("_max_size"),
+         "min_url": F.col("_min_id").cast("string")}
+    args = (F.col("ts"), F.col("value"), F.col("event_id").cast("string"),
+            None, g)
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        _predicate("select-older", *args).alias("is_older"),
+        _predicate("select-newer", *args).alias("is_newer"),
+    )
 
 
 def _q_select_smaller_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +939,74 @@ def _q_pipeline_pass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ledger
 
 
+# deterministic synthetic-image parameters shared by the Spark query and the
+# DuckDB oracle: family count (image content class), the one-cell perturbation
+# stride (a <= 2-bit hamming offset the pigeonhole join must still catch), and
+# the verify threshold. The pixel formula keeps families >= 17 hamming bits
+# apart (measured over all 37C2 pairs), so perturbed members (<= 2 bits off
+# their family base, <= 4 off each other) can never bridge two families at
+# threshold 4 — clusters == families, exactly replayable.
+_IMG_FAMILIES = 37
+_IMG_PERTURB_MOD = 11
+_IMG_HAMMING_K = 4
+
+
+def _q_image_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (multimodal.image_dhash → dhash_blocks →
+    bucketed pigeonhole join → JVM bit_count verify → union-find), end to
+    end over the REAL PNG decode path, on deterministic synthetic images
+    derived from doc_id. Image for doc d: family f = d % 37 picks a 9x8
+    grid v = (f*x*x*29 + f*y*13 + x*x*31 + y*y*17 + x*y*7 + f*f*11) % 256,
+    rendered at scale s = 1 + d % 3 (s x s constant blocks — the box
+    resample recovers the grid exactly, so resized copies hash identically),
+    and docs with d % 11 == 0 get one cell perturbed (+96 at (x=d%9, y=d%8)).
+    The DuckDB oracle replays grid → gradient bits → two's-complement
+    packing → all-pairs bit_count(xor) <= 4 → recursive-closure components;
+    exact because pigeonhole recall is exact and no bucket nears the 256 cap
+    at contract scale (family size ≈ N/37)."""
+    import numpy as np
+
+    from pysparkdedup.multimodal import (
+        image_dhash, image_dup_clusters, png_encode_gray,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        ys, xs = np.mgrid[0:8, 0:9]
+        for pdf in batches:
+            urls, payloads = [], []
+            for did in pdf["doc_id"].tolist():
+                did = int(did)
+                f, s = did % _IMG_FAMILIES, 1 + did % 3
+                g = (f * xs * xs * 29 + f * ys * 13 + xs * xs * 31
+                     + ys * ys * 17 + xs * ys * 7 + f * f * 11) % 256
+                if did % _IMG_PERTURB_MOD == 0:
+                    g[did % 8, did % 9] = (g[did % 8, did % 9] + 96) % 256
+                big = np.kron(g.astype(np.uint8),
+                              np.ones((s, s), np.uint8))
+                urls.append(str(did))
+                payloads.append(png_encode_gray(9 * s, 8 * s, big.tobytes()))
+            yield pd.DataFrame({"url": urls, "html": payloads})
+
+    pages = d.mapInPandas(gen, "url string, html binary")
+    # persisted once: feeds the blocking/verify path AND the final join-back
+    # (the library caller's pattern; bounded — one slim row per image)
+    sigs = image_dhash(pages).persist()
+    clusters = image_dup_clusters(pages, hamming_threshold=_IMG_HAMMING_K,
+                                  sigs=sigs)
+    return (
+        sigs.join(clusters, "url", "left")
+        .select(
+            "url", "dhash",
+            F.coalesce("cluster_key",
+                       F.concat(F.lit("cc:"), F.col("url")))
+            .alias("cluster_key"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -926,8 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_oldest_per_user": _q_select_oldest_per_user,
         "select_one_per_user": _q_select_one_per_user,
         "select_biggest_per_user": _q_select_biggest_per_user,
-        "select_older_per_user": _q_select_older_per_user,
-        "select_newer_per_user": _q_select_newer_per_user,
+        "select_older_newer_per_user": _q_select_older_newer_per_user,
         "select_smaller_per_user": _q_select_smaller_per_user,
         "select_smallest_per_user": _q_select_smallest_per_user,
         "select_bigger_per_user": _q_select_bigger_per_user,
@@ -955,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_top1": _q_embedding_ann_top1,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_clusters_docs": _q_minhash_clusters_docs,
+        "image_dup_docs": _q_image_dup_docs,
         # size-only eviction: the greedy loop is integer-only -> full oracle
         # (recursive-CTE replay)
         "guards_eviction_size_only": _q_guards_eviction_size_only,
@@ -1161,6 +1251,75 @@ def _minhash_clusters_oracle_sql() -> str:
         )
         SELECT node AS url, 'cc:' || min(label) AS cluster_key
         FROM walk GROUP BY node
+    """
+
+
+def _image_dup_oracle_sql() -> str:
+    """DuckDB replay of the dHash image near-dup query: rebuild each doc's
+    9x8 grid from the shared (doc_id, x, y) pixel formula (scale and the PNG
+    encode/decode round-trip are invisible to the hash by construction — the
+    box resample of an s x s constant-block image IS the grid), pack the
+    horizontal gradient sign bits little-endian into a two's-complement
+    BIGINT, take ALL pairs at bit_count(xor) <= k (exact at oracle scale;
+    the engine's pigeonhole blocking has exact recall at the same k and its
+    bucket cap never fires at family size ~= N/37), and close the edge set
+    into min-label components with the same recursive closure the minhash
+    clusters oracle uses."""
+    fam, pert, k = _IMG_FAMILIES, _IMG_PERTURB_MOD, _IMG_HAMMING_K
+    return f"""
+        WITH RECURSIVE gx AS (SELECT unnest(generate_series(0, 8)) AS x),
+        gy AS (SELECT unnest(generate_series(0, 7)) AS y),
+        grid AS (
+            SELECT d.doc_id::VARCHAR AS url, x, y,
+                   ((d.doc_id % {fam})*x*x*29 + (d.doc_id % {fam})*y*13
+                    + x*x*31 + y*y*17 + x*y*7
+                    + (d.doc_id % {fam})*(d.doc_id % {fam})*11
+                    + CASE WHEN d.doc_id % {pert} = 0
+                                AND x = d.doc_id % 9 AND y = d.doc_id % 8
+                           THEN 96 ELSE 0 END) % 256 AS v
+            FROM documents d, gx, gy
+        ),
+        gbits AS (
+            SELECT a.url, a.y * 8 + a.x AS j
+            FROM grid a JOIN grid b
+              ON b.url = a.url AND b.y = a.y AND b.x = a.x + 1
+            WHERE a.v > b.v
+        ),
+        packed AS (
+            SELECT d.doc_id::VARCHAR AS url,
+                   coalesce(sum(1::HUGEINT << j), 0::HUGEINT) AS u
+            FROM documents d
+            LEFT JOIN gbits ON gbits.url = d.doc_id::VARCHAR
+            GROUP BY 1
+        ),
+        dsig AS (
+            SELECT url,
+                   CASE WHEN u >= {_H64} THEN (u - {_M64})::BIGINT
+                        ELSE u::BIGINT END AS dhash
+            FROM packed
+        ),
+        dedges AS (
+            SELECT a.url AS ea, b.url AS eb
+            FROM dsig a JOIN dsig b ON a.url < b.url
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= {k}
+        ),
+        dsym AS (
+            SELECT ea AS src, eb AS dst FROM dedges
+            UNION ALL
+            SELECT eb AS src, ea AS dst FROM dedges
+        ),
+        dwalk(node, label) AS (
+            SELECT dst, dst FROM dsym
+            UNION
+            SELECT s.dst, w.label FROM dsym s JOIN dwalk w ON s.src = w.node
+        ),
+        dcc AS (
+            SELECT node AS url, 'cc:' || min(label) AS cluster_key
+            FROM dwalk GROUP BY node
+        )
+        SELECT s.url, s.dhash,
+               coalesce(dcc.cluster_key, 'cc:' || s.url) AS cluster_key
+        FROM dsig s LEFT JOIN dcc ON dcc.url = s.url
     """
 
 
@@ -2298,15 +2457,12 @@ def oracle_sql() -> dict[str, str]:
                        '[<>]', '', 'g') AS addr
             FROM documents
         """,
-        "select_older_per_user": """
-            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
-            FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS mx FROM events)
-            WHERE ts < mx
-        """,
-        "select_newer_per_user": """
-            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
-            FROM (SELECT *, min(ts) OVER (PARTITION BY user_id) AS mn FROM events)
-            WHERE ts > mn
+        "select_older_newer_per_user": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+                   ts < max(ts) OVER (PARTITION BY user_id) AS is_older,
+                   ts > min(ts) OVER (PARTITION BY user_id) AS is_newer
+            FROM events
         """,
         "select_smaller_per_user": """
             SELECT event_id, user_id
@@ -2551,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sigs_docs": _simhash_oracle_sql(),
         "minhash_sigs_docs": _minhash_oracle_sql(),
         "minhash_clusters_docs": _minhash_clusters_oracle_sql(),
+        "image_dup_docs": _image_dup_oracle_sql(),
         "embedding_lsh_buckets": _emb_buckets_oracle_sql(),
         "embedding_ivf_topk": _emb_ivf_topk_oracle_sql(),
         "embedding_ann_top1": _emb_ann_top1_oracle_sql(),
