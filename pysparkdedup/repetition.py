@@ -334,12 +334,17 @@ def drop_boilerplate_lines(
     - ``n_lines`` / ``n_dropped`` : accounting.
 
     The document payload never shuffles (the engine's dehydration principle):
-    only the light (id, line) projection rides the document-frequency
-    aggregation, and the rebuild is an order-preserving JVM ``filter`` of
-    each document's OWN lines array against its per-doc boilerplate hits —
-    a frame bounded by (docs containing boilerplate) x (few lines each),
-    which AQE broadcasts in the common regime; the fallback is a shuffle
-    join keyed on id that still moves only the hit lines, not the corpus.
+    only the light (id, pos, line) projection rides the document-frequency
+    aggregation, and the rebuild drops by POSITION — the exploded frame
+    already knows every occurrence's position, so collecting the hit
+    positions (ints, bounded by the doc's own line count) replaces the
+    former per-line ``array_contains`` scan over a per-doc STRING array —
+    O(lines x distinct_bad_lines x strlen) per document for template-heavy
+    docs — with an int-set membership test, the same form the fused curate
+    path uses (curate.py position drops). The per-doc hit frame is bounded
+    by (docs containing boilerplate) x (few ints each), which AQE
+    broadcasts in the common regime; the fallback is a shuffle join keyed
+    on id that still moves only hit positions, not the corpus.
 
     The boilerplate dim itself is deliberately NOT hint-broadcast: unlike
     the engine's capped hot-key dims (pairs/ngram/suffix), every distinct
@@ -353,14 +358,16 @@ def drop_boilerplate_lines(
 
     from .cache import track
 
-    # The light (id, line) projection feeds BOTH the frequency count and the
-    # per-doc hit set; persist it so the caller's lines expression (often a
-    # chunking transform) evaluates once, not per consumer.
+    # The light (id, pos, line) projection feeds BOTH the frequency count
+    # and the per-doc hit positions; persist it so the caller's lines
+    # expression (often a chunking transform) evaluates once, not per
+    # consumer.
     light = track(
-        df.select(F.col(id_col), F.explode(lines_col).alias("line"))
+        df.select(F.col(id_col),
+                  F.posexplode(lines_col).alias("pos", "line"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     boiler = (
-        light.distinct()
+        light.select(id_col, "line").distinct()
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
@@ -370,7 +377,7 @@ def drop_boilerplate_lines(
     bad_per_doc = (
         light.join(boiler, "line", "inner")
         .groupBy(id_col)
-        .agg(F.collect_set("line").alias("_bad"))
+        .agg(F.collect_set("pos").alias("_badpos"))
     )
 
     joined = df.select(
@@ -382,10 +389,10 @@ def drop_boilerplate_lines(
     ).join(bad_per_doc, id_col, "left")
 
     kept = F.when(
-        F.col("_bad").isNull(), F.col("_lines")
+        F.col("_badpos").isNull(), F.col("_lines")
     ).otherwise(
         F.filter(F.col("_lines"),
-                 lambda ln: ~F.array_contains(F.col("_bad"), ln)))
+                 lambda _ln, i: ~F.array_contains(F.col("_badpos"), i)))
     return joined.select(
         id_col,
         "n_lines",
