@@ -235,3 +235,139 @@ def test_vocab_topk_no_global_sort(spark):
     d = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
     plan = plan_of(vocab_topk(d, k=5))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window gate (round 7): an unpartitioned WindowExec moves ALL
+# its input through one task — correct but a monster straggler if the input
+# is a corpus-scale frame. The suite's only legitimate uses sit above a
+# limit node (k-row frames: vocab_topk's rank over TakeOrderedAndProject).
+# The pytest log's WindowExec single-partition warning would mask a real
+# regression, so gate it structurally on the headline verbs' plans.
+# ---------------------------------------------------------------------------
+
+_LIMIT_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+                "LocalLimit")
+
+
+def _top_level_bracket_groups(s: str) -> int:
+    groups, depth = 0, 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def unpartitioned_windows_above_nonlimit(plan: str) -> list[str]:
+    """Node ids of Window operators with NO partition spec whose subtree
+    contains no limit node. Partitioned windows show three top-level bracket
+    groups in the detail block's Arguments ([functions], [partition],
+    [order]); unpartitioned show two."""
+    import re
+
+    bad_ids = set()
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines:
+            continue
+        m = re.match(r"\((\d+)\) Window\b", lines[0].strip())
+        if not m:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments: ")), "")
+        if _top_level_bracket_groups(args[len("Arguments: "):]) == 2:
+            bad_ids.add(m.group(1))
+    if not bad_ids:
+        return []
+    node_re = re.compile(r"^([\s:+*-]*)(\w[\w.$ ]*?) \((\d+)\)\s*$")
+    entries = []
+    for line in plan.splitlines():
+        if line.lstrip().startswith("("):
+            continue  # detail-block header, not a tree line
+        m = node_re.match(line)
+        if m:
+            entries.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+    violations = []
+    for i, (ind, name, nid) in enumerate(entries):
+        if nid not in bad_ids or name != "Window":
+            continue
+        sub = []
+        for ind2, name2, _nid2 in entries[i + 1:]:
+            if ind2 <= ind:
+                break
+            sub.append(name2)
+        if not any(n.startswith(_LIMIT_NODES) for n in sub):
+            violations.append(nid)
+    return violations
+
+
+def test_window_gate_parser_distinguishes_the_three_shapes(spark):
+    """Self-test of the gate on known-good/known-bad plans so a Spark
+    explain-format change fails loudly here, not silently in the gate."""
+    from pyspark.sql.window import Window
+
+    d = spark.range(100).withColumn("g", F.col("id") % 5)
+    ok_part = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    assert unpartitioned_windows_above_nonlimit(plan_of(ok_part)) == []
+    bad = d.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert len(unpartitioned_windows_above_nonlimit(plan_of(bad))) == 1
+    ok_limited = (d.orderBy(F.col("id").desc()).limit(5)
+                  .withColumn("rn", F.row_number().over(Window.orderBy("id"))))
+    assert unpartitioned_windows_above_nonlimit(plan_of(ok_limited)) == []
+
+
+def test_no_unpartitioned_window_in_headline_verbs(spark, pages_factory):
+    """The bench headline verbs must never put an unpartitioned window over
+    a data-scale frame. vocab_topk is the deliberate exempt case (rank over
+    the k-row TakeOrderedAndProject output) and must stay exempt, not
+    absent — the gate checks both directions."""
+    from tests.conftest import ts
+
+    from pysparkdedup.crosscorpus import dedup_against
+    from pysparkdedup.checkpoint import compute_signatures
+    from pysparkdedup.curate import curate_pages
+    from pysparkdedup.minhash import minhash_clusters
+    from pysparkdedup.ngram import jaccard_edges
+    from pysparkdedup.repetition import (
+        dedup_lines_keep_first, drop_boilerplate_lines, with_chunk_lines,
+    )
+    from pysparkdedup.simhash import simhash_clusters
+    from pysparkdedup.strategy import apply_cascade
+    from pysparkdedup.textstats import vocab_topk
+
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+    pages = pages_factory([
+        ("u/a", ts(0), "alpha beta gamma delta", "en"),
+        ("u/b", ts(1), "alpha beta gamma delta", "en"),
+        ("u/c", ts(2), "epsilon zeta eta theta", "en"),
+    ])
+    lined = with_chunk_lines(
+        pages.select(F.col("url").alias("doc_id"), "text"), 10
+    ).select("doc_id", "lines")
+    old = pages.filter(F.crc32("url") % 2 == 0)
+    new = pages.filter(F.crc32("url") % 2 == 1)
+    frames = {
+        "exact_pipeline": run_exact(pages, cfg),
+        "minhash_clusters": minhash_clusters(pages, cfg),
+        "simhash_clusters": simhash_clusters(pages, cfg),
+        "ngram_jaccard": jaccard_edges(pages, k=2, threshold=0.5),
+        "cascade": apply_cascade(
+            pages.withColumn("cluster_key", F.lit("k"))
+            .withColumn("n_bytes", F.length("text")), cfg),
+        "curation": curate_pages(pages, max_dup_gram_frac=0.5,
+                                 boilerplate_min_df=2,
+                                 dedup_paragraphs=True, id_col="url"),
+        "boilerplate": drop_boilerplate_lines(lined, min_df=2),
+        "keep_first": dedup_lines_keep_first(lined),
+        "cross_corpus": dedup_against(new, compute_signatures(old, cfg), cfg),
+    }
+    for name, df in frames.items():
+        assert unpartitioned_windows_above_nonlimit(plan_of(df)) == [], name
+    # the exempt shape must still be present AND exempt
+    topk_plan = plan_of(vocab_topk(pages, k=5))
+    assert "Window" in topk_plan
+    assert unpartitioned_windows_above_nonlimit(topk_plan) == []
