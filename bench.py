@@ -107,6 +107,18 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, float]:
     bench("embedding_topk",
           lambda: cosine_topk(emb, queries_pdf, k=10).count())
 
+    # Perceptual image near-dup (added round 7): synthetic PNGs from
+    # doc_id (same generator as the image_dup_docs oracle), then the full
+    # decode -> dHash -> pigeonhole-block join -> bit_count verify ->
+    # union-find path. The Arrow decode kernel dominates; the join side is
+    # bucketed, never all-pairs.
+    from __spark_entry__ import _q_image_dup_docs
+
+    bench("image_dup",
+          lambda: _q_image_dup_docs(spark, sf_dir)
+          .agg(F.count(F.lit(1)),
+               F.countDistinct("cluster_key")).collect())
+
     # Curation pass (added round 4): repetition stats + boilerplate-line
     # removal + benchmark decontamination in one timing — the "filter the
     # corpus before training" path alongside dedup.
