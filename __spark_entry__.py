@@ -966,9 +966,7 @@ def _q_image_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at contract scale (family size ≈ N/37)."""
     import numpy as np
 
-    from pysparkdedup.multimodal import (
-        image_dhash, image_dup_clusters, png_encode_gray,
-    )
+    from pysparkdedup.multimodal import image_dedup_ledger, png_encode_gray
 
     d = _docs(spark, sf_dir).select("doc_id")
 
@@ -992,19 +990,7 @@ def _q_image_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"url": urls, "html": payloads})
 
     pages = d.mapInPandas(gen, "url string, html binary")
-    # persisted once: feeds the blocking/verify path AND the final join-back
-    # (the library caller's pattern; bounded — one slim row per image)
-    sigs = image_dhash(pages).persist()
-    clusters = image_dup_clusters(pages, hamming_threshold=_IMG_HAMMING_K,
-                                  sigs=sigs)
-    return (
-        sigs.join(clusters, "url", "left")
-        .select(
-            "url", "dhash",
-            F.coalesce("cluster_key",
-                       F.concat(F.lit("cc:"), F.col("url")))
-            .alias("cluster_key"))
-    )
+    return image_dedup_ledger(pages, hamming_threshold=_IMG_HAMMING_K)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "mail_box.py:353-397)")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "minhash", "simhash", "hash-only",
-                            "curate", "dedup-against", "tiered", "pipeline"],
+                            "curate", "dedup-against", "tiered", "pipeline",
+                            "image-dedup"],
                    help="grouping mode (hash-only prints signatures and "
                         "exits, ref cli.py:656-674; curate runs the "
                         "training-data filter pass and writes --output; "
@@ -56,7 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "writes the (url, tier, kept_by) ledger; pipeline "
                         "runs curate THEN tiered over the curated text — "
                         "ledger to --output, optional --curated-output / "
-                        "--corpus-output)")
+                        "--corpus-output; image-dedup runs perceptual dHash "
+                        "near-dup over the binary payload column and writes "
+                        "the (url, dhash, cluster_key) ledger to --output)")
+    p.add_argument("--hamming-threshold", type=int, default=4,
+                   help="image-dedup mode: max dHash Hamming distance for a "
+                        "duplicate pair (pigeonhole blocking keeps recall "
+                        "exact at this distance)")
     p.add_argument("--embeddings", default=None,
                    help="tiered mode: optional (vec_id, embedding) parquet "
                         "enabling the semantic tier (vec_id matches url)")
@@ -304,6 +311,34 @@ def main(argv: list[str] | None = None) -> int:
                 "DOCS_IN": pages.count(),
                 "CURATED": curated.count(),
                 **{k.upper(): v for k, v in row.items()},
+            }, indent=2))
+            return 0
+
+        if args.mode == "image-dedup":
+            if not args.output:
+                parser.error("--mode image-dedup requires --output")
+            from pyspark.sql import functions as F
+
+            from .multimodal import image_dedup_ledger
+
+            ledger = image_dedup_ledger(
+                pages, hamming_threshold=args.hamming_threshold)
+            ledger.write.mode("overwrite").parquet(args.output)
+            led = spark.read.parquet(args.output)
+            sizes = led.groupBy("cluster_key").count()
+            row = led.agg(
+                F.count(F.lit(1)).alias("images_in"),
+                F.count("dhash").alias("hashed"),
+            ).collect()[0]
+            dup = sizes.filter(F.col("count") >= 2).agg(
+                F.count(F.lit(1)).alias("dup_clusters"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("dup_images"),
+            ).collect()[0]
+            print(json.dumps({
+                "IMAGES_IN": row["images_in"],
+                "HASHED": row["hashed"],
+                "DUP_CLUSTERS": dup["dup_clusters"],
+                "DUP_IMAGES": dup["dup_images"],
             }, indent=2))
             return 0
 

@@ -605,3 +605,36 @@ def image_dup_clusters(df: DataFrame, payload_col: str = "html",
                             fake_decode=fake_decode).select("a", "b"))
     return out.select(F.col("url").alias(id_col),
                       F.col("cluster_key")) if id_col != "url" else out
+
+
+def image_dedup_ledger(df: DataFrame, payload_col: str = "html",
+                       id_col: str = "url", hamming_threshold: int = 4,
+                       max_bucket_size: int = 256,
+                       fake_decode: bool = False) -> DataFrame:
+    """(id, dhash, cluster_key) for EVERY input row — the writeable ledger
+    form of ``image_dup_clusters``: duplicate components carry the
+    component's min id, singletons (and undecodable/null payloads) their
+    own id. Signatures are computed once and persisted; they feed the
+    pigeonhole blocking, both verify-join sides, and the final join-back."""
+    from pyspark import StorageLevel
+
+    from .cache import track
+
+    sigs = track(
+        image_dhash(df, payload_col=payload_col, id_col=id_col,
+                    fake_decode=fake_decode)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    clusters = image_dup_clusters(
+        df, payload_col=payload_col, id_col=id_col,
+        hamming_threshold=hamming_threshold,
+        max_bucket_size=max_bucket_size, sigs=sigs,
+        fake_decode=fake_decode)
+    return (
+        sigs.join(clusters, id_col, "left")
+        .select(
+            id_col, "dhash",
+            F.coalesce(
+                "cluster_key",
+                F.concat(F.lit("cc:"), F.col(id_col).cast("string")))
+            .alias("cluster_key"))
+    )

@@ -500,3 +500,37 @@ def test_image_dhash_fake_decode_plumbing(pages_factory):
             for r in image_dhash(df, fake_decode=True).collect()}
     assert sigs["u/a"] == sigs["u/b"]
     assert sigs["u/a"] != sigs["u/c"]
+
+
+def test_cli_image_dedup_mode(spark, tmp_path, capsys):
+    """--mode image-dedup end to end: parquet in, (url, dhash, cluster_key)
+    ledger out, summary counts on stdout. A 2x-upscaled copy lands in its
+    base's cluster; the null payload survives as an unhashed singleton."""
+    import json
+
+    from pysparkdedup.cli import main
+    from pysparkdedup.multimodal import png_encode_gray
+    from tests.conftest import PAGES_SCHEMA
+
+    g0, g1 = _grid_bytes(0), _grid_bytes(1)
+    rows = [
+        ("u/base0", ts(0), png_encode_gray(9, 8, g0), "x", "en"),
+        ("u/copy0", ts(1), png_encode_gray(18, 16, _upscale(g0, 9, 8, 2)),
+         "x", "en"),
+        ("u/solo1", ts(2), png_encode_gray(9, 8, g1), "x", "en"),
+        ("u/null", ts(3), None, "x", "en"),
+    ]
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "ledger")
+    spark.createDataFrame(rows, schema=PAGES_SCHEMA).write.parquet(inp)
+    rc = main(["--input", inp, "--mode", "image-dedup", "--output", out,
+               "--hamming-threshold", "2", "--master", "local[4]"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats == {"IMAGES_IN": 4, "HASHED": 3,
+                     "DUP_CLUSTERS": 1, "DUP_IMAGES": 2}
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert got["u/copy0"]["cluster_key"] == got["u/base0"]["cluster_key"]
+    assert got["u/solo1"]["cluster_key"] == "cc:u/solo1"
+    assert got["u/null"]["dhash"] is None
+    assert got["u/null"]["cluster_key"] == "cc:u/null"
