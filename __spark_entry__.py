@@ -225,7 +225,16 @@ def _q_regexp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over whitespace tokens (textstats.token_count)."""
+    """Token counting over whitespace tokens (textstats.token_count) +
+    the BPE-ish subword estimate (textstats.subword_count) — widened in
+    round 7 per SURVEY §8 fold option 3 (per-parameter variants ride the
+    SAME slot as extra columns). The subword oracle replays the Java
+    lookaround split as its lookaround-free RE2 equivalent: the split's
+    pieces are exactly the maximal letter-only / digit-only runs, so
+    DuckDB extracts '\\p{L}+|\\p{N}+' and applies the same ceil(len/4)
+    length heuristic."""
+    from pysparkdedup.textstats import subword_count
+
     d = _docs(spark, sf_dir)
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
@@ -235,6 +244,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_exact"),
+        subword_count().alias("n_subwords"),
     )
 
 
@@ -2364,7 +2374,12 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,
-                   length(coalesce(text, '')) AS n_chars_exact
+                   length(coalesce(text, '')) AS n_chars_exact,
+                   coalesce(list_sum(list_transform(
+                       regexp_extract_all(coalesce(text, ''),
+                                          '\\p{{L}}+|\\p{{N}}+'),
+                       p -> greatest(ceil(length(p) / 4)::BIGINT, 1))),
+                       0) AS n_subwords
             FROM documents
         """,
         "quality_stats": f"""
