@@ -31,6 +31,9 @@ Jobs (5th positional arg, default ``neardup``):
 - ``pipeline``: the composed verb (trainpipe.curate_and_dedup) — the
   curate job feeding the tiered job over the CURATED text (+ drop_empty);
   crc over the final ledger.
+- ``imagededup``: perceptual image near-dup (multimodal.image_dedup_ledger)
+  over deterministic synthetic PNG families derived from xxhash64(url);
+  crc over the (url, dhash, cluster_key) ledger.
 
 Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [runs] [job]
 Writes bench_scaling.json (neardup) / bench_scaling_curate.json (curate)
@@ -184,8 +187,73 @@ def _job_pipeline(spark, path: str):
     return int(row["n"]), int(row["crc"])
 
 
+def _job_imagededup(spark, path: str):
+    """Perceptual image near-dup at corpus scale
+    (multimodal.image_dedup_ledger): deterministic synthetic PNGs derived
+    from xxhash64(url) — ~n/4 duplicate families whose members render at
+    scales 1-3 (resized copies) with a one-cell perturbation on ~1/11 of
+    members (nonzero-Hamming near copies) — then the full decode -> dHash
+    -> pigeonhole-block join -> bit_count verify -> union-find path. PNG
+    synthesis rides the measured job the way decode would on a real corpus
+    read. Family pixel content is a blake2b digest (72 bytes = the 9x8
+    grid), so distinct families sit ~32 Hamming bits apart and clusters
+    equal families; crc over the full (url, dhash, cluster_key) ledger
+    gates determinism across parallelism."""
+    from pyspark.sql import functions as F
+
+    from pysparkdedup.multimodal import image_dedup_ledger
+
+    pages = spark.read.parquet(path)
+    n_fam = max(int(pages.count()) // 4, 1)
+    # slim deterministic image parameters, derived JVM-side; the Python
+    # kernel only renders
+    src = pages.select(
+        "url",
+        F.pmod(F.xxhash64("url"), F.lit(n_fam)).alias("_fam"),
+        (1 + F.pmod(F.xxhash64("url", F.lit(1)), F.lit(3))).alias("_scale"),
+        F.pmod(F.xxhash64("url", F.lit(2)), F.lit(11)).alias("_pert"),
+        F.pmod(F.xxhash64("url", F.lit(3)), F.lit(9)).alias("_px"),
+        F.pmod(F.xxhash64("url", F.lit(4)), F.lit(8)).alias("_py"),
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from pysparkdedup.multimodal import png_encode_gray
+
+        for pdf in batches:
+            payloads = []
+            for fam, s, pert, px, py in zip(
+                    pdf["_fam"], pdf["_scale"], pdf["_pert"],
+                    pdf["_px"], pdf["_py"]):
+                key = b"fam:%d" % int(fam)
+                raw = (hashlib.blake2b(key, digest_size=64).digest()
+                       + hashlib.blake2b(key + b":1", digest_size=8).digest())
+                g = np.frombuffer(raw, np.uint8).reshape(8, 9).copy()
+                if int(pert) == 0:
+                    g[int(py), int(px)] = (int(g[int(py), int(px)]) + 96) % 256
+                s = int(s)
+                big = np.kron(g, np.ones((s, s), np.uint8))
+                payloads.append(png_encode_gray(9 * s, 8 * s, big.tobytes()))
+            yield pd.DataFrame({"url": pdf["url"], "html": payloads})
+
+    images = src.mapInPandas(gen, "url string, html binary")
+    ledger = image_dedup_ledger(images)
+    row = (
+        ledger.withColumn(
+            "line", F.concat_ws("\x1f", "url", "dhash", "cluster_key"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.crc32("line")).alias("crc"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["crc"])
+
+
 JOBS = {"neardup": _job_neardup, "curate": _job_curate,
-        "tiered": _job_tiered, "pipeline": _job_pipeline}
+        "tiered": _job_tiered, "pipeline": _job_pipeline,
+        "imagededup": _job_imagededup}
 
 
 def worker(cpus: int, runs: int = 3, job: str = "neardup") -> None:
