@@ -556,17 +556,21 @@ def image_dup_edges(df: DataFrame, payload_col: str = "html",
     blocking AND both verify-join sides); candidates come from the
     skew-capped pigeonhole bucket join — never all-pairs — and the verify
     is JVM ``bit_count(xor)``. Pass ``sigs`` (id, dhash) to reuse
-    precomputed signatures."""
+    precomputed signatures — the caller then owns their persistence (a
+    re-persist here would SHARE the caller's cache entry, so a scoped
+    unpersist on exit would drop it under the caller's later consumers)."""
     from pyspark import StorageLevel
 
     from .cache import track
     from .pairs import bucket_pairs
 
     if sigs is None:
-        sigs = image_dhash(df, payload_col=payload_col, id_col=id_col,
-                           fake_decode=fake_decode)
-    sigs = track(
-        sigs.select(id_col, "dhash").persist(StorageLevel.MEMORY_AND_DISK))
+        sigs = track(
+            image_dhash(df, payload_col=payload_col, id_col=id_col,
+                        fake_decode=fake_decode)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    else:
+        sigs = sigs.select(id_col, "dhash")
     blocks = dhash_blocks(sigs, hamming_threshold, id_col=id_col)
     pairs = bucket_pairs(
         blocks, ["block_id", "block_val"], id_col=id_col,
