@@ -386,14 +386,12 @@ def _q_normalize_keys_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
-                          with_ts: bool = False) -> DataFrame:
-    """One strategy as its group-extremes predicate over events/user_id, built
-    by the strategy module's own registry (strategy._predicate, ref
-    strategy.py:56-193); extremes come from the sharded groupBy + join-back
-    path (groupagg.with_group_stats), same as the pipeline."""
+def _events_with_extremes(spark: SparkSession, sf_dir: str):
+    """(joined events frame, group-extremes dict, predicate args) — the
+    shared input every strategy query builds its strategy._predicate from;
+    extremes come from the sharded groupBy + join-back path
+    (groupagg.with_group_stats), same as the pipeline."""
     from pysparkdedup.groupagg import with_group_stats
-    from pysparkdedup.strategy import _predicate
 
     e = _events(spark, sf_dir)
     j = with_group_stats(e, "user_id", [
@@ -406,8 +404,20 @@ def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
          # min over the LONG id, cast for the string-typed url slot: keeps
          # the historical numeric tie-break of the rn-ordered variant.
          "min_url": F.col("_min_id").cast("string")}
-    pred = _predicate(name, F.col("ts"), F.col("value"),
-                      F.col("event_id").cast("string"), None, g)
+    args = (F.col("ts"), F.col("value"), F.col("event_id").cast("string"),
+            None, g)
+    return j, args
+
+
+def _strategy_over_events(name: str, spark: SparkSession, sf_dir: str,
+                          with_ts: bool = False) -> DataFrame:
+    """One strategy as its group-extremes predicate over events/user_id, built
+    by the strategy module's own registry (strategy._predicate, ref
+    strategy.py:56-193)."""
+    from pysparkdedup.strategy import _predicate
+
+    j, args = _events_with_extremes(spark, sf_dir)
+    pred = _predicate(name, *args)
     cols = ["event_id", "user_id"]
     if with_ts:
         cols.append(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
@@ -424,20 +434,9 @@ def _q_select_older_newer_per_user(spark: SparkSession,
     shared group extremes — the select_paths pattern. One row per event, so
     both predicates stay visible on every row instead of as filtered
     subsets."""
-    from pysparkdedup.groupagg import with_group_stats
     from pysparkdedup.strategy import _predicate
 
-    e = _events(spark, sf_dir)
-    j = with_group_stats(e, "user_id", [
-        F.min("ts").alias("_min_ts"), F.max("ts").alias("_max_ts"),
-        F.min("value").alias("_min_size"), F.max("value").alias("_max_size"),
-        F.min("event_id").alias("_min_id"),
-    ])
-    g = {"min_ts": F.col("_min_ts"), "max_ts": F.col("_max_ts"),
-         "min_size": F.col("_min_size"), "max_size": F.col("_max_size"),
-         "min_url": F.col("_min_id").cast("string")}
-    args = (F.col("ts"), F.col("value"), F.col("event_id").cast("string"),
-            None, g)
+    j, args = _events_with_extremes(spark, sf_dir)
     return j.select(
         "event_id", "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),

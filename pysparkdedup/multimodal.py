@@ -478,11 +478,6 @@ def png_encode_gray(w: int, h: int, gray: bytes) -> bytes:
 # the same layout simhash uses, so the DuckDB HUGEINT replay is shared).
 DHASH_GRID = (9, 8)
 
-_DHASH_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType(), False),
-    T.StructField("dhash", T.LongType(), True),
-])
-
 
 def image_dhash(df: DataFrame, payload_col: str = "html",
                 id_col: str = "url", fake_decode: bool = False) -> DataFrame:
@@ -504,11 +499,18 @@ def image_dhash(df: DataFrame, payload_col: str = "html",
         T.StructField("dhash", T.LongType(), True),
     ])
 
-    def _hash_one(payload: bytes) -> int:
+    def _hash_one(payload: bytes) -> int | None:
         if fake_decode:
             digest = hashlib.blake2b(payload, digest_size=8).digest()
             return int(np.frombuffer(digest, np.uint64)[0].astype(np.int64))
-        w, h, gray = _decode_gray(payload)
+        # Undecodable payloads (non-image bytes in the html column, truncated
+        # files, codecs absent) null out per-row instead of failing the task:
+        # one corrupt image must not kill a corpus-scale job, and the ledger
+        # documents nulls as unhashed singletons.
+        try:
+            w, h, gray = _decode_gray(payload)
+        except Exception:
+            return None
         grid = np.frombuffer(
             _resample_gray(gray, w, h, tw, th), np.uint8).reshape(th, tw)
         bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint8)  # (th, tw-1)
@@ -528,21 +530,43 @@ def image_dhash(df: DataFrame, payload_col: str = "html",
 
 def dhash_blocks(sig_df: DataFrame, hamming_threshold: int,
                  id_col: str = "url") -> DataFrame:
-    """(id, block_id, block_val): (k+1) pigeonhole blocks of the dhash —
-    any pair within Hamming distance k agrees exactly on at least one
-    block, so the block equi-join has EXACT recall (same trick as
-    simhash.simhash_blocks, parametrized for the image threshold)."""
-    n_blocks = hamming_threshold + 1
-    width = 64 // n_blocks
+    """(id, block_id, val_a, val_b): two-block pigeonhole combination keys.
+
+    With m = k+2 blocks of 64//m bits, <= k differing bits damage at most
+    k blocks, leaving >= 2 clean — so any pair within Hamming distance k
+    agrees exactly on at least one PAIR of blocks and the (block-pair,
+    values) equi-join has EXACT recall. Single-block keys (the
+    simhash_blocks trick) are only 64/(k+1) bits wide — 12 bits at k=4,
+    i.e. 4096 bucket values: at millions of images every bucket blows past
+    the skew cap and the salted-star degrade quietly destroys family
+    connectivity. Pair keys are 2*width bits (20 at k=4, ~1M values), so
+    bucket occupancy stays ~n/2^(2*width) per block pair — the cap stays a
+    pathological-skew guard instead of the steady state. C(m, 2) rows per
+    image (15 at k=4) is the price, paid in a map-side explode."""
+    if not 0 <= hamming_threshold <= 30:
+        raise ValueError(
+            f"hamming_threshold must be in [0, 30], got {hamming_threshold}")
+    m = hamming_threshold + 2
+    width = 64 // m
     mask = (1 << width) - 1
-    return sig_df.filter(F.col("dhash").isNotNull()).select(
+    pair_ids = [(i, j) for i in range(m) for j in range(i + 1, m)]
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), "
+        f"i -> shiftrightunsigned(dhash, i * {width}) & {mask}L)")
+    nn = sig_df.filter(F.col("dhash").isNotNull()).select(
+        id_col, slices.alias("_sl"))
+    keys = F.array(*[
+        F.struct(
+            F.lit(i * m + j).alias("block_id"),
+            F.col("_sl").getItem(i).alias("val_a"),
+            F.col("_sl").getItem(j).alias("val_b"),
+        ) for i, j in pair_ids
+    ])
+    return nn.select(id_col, F.explode(keys).alias("_k")).select(
         id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {n_blocks - 1}), "
-                f"i -> shiftrightunsigned(dhash, i * {width}) & {mask}L)"
-            )
-        ).alias("block_id", "block_val"),
+        F.col("_k.block_id").alias("block_id"),
+        F.col("_k.val_a").alias("val_a"),
+        F.col("_k.val_b").alias("val_b"),
     )
 
 
@@ -573,7 +597,7 @@ def image_dup_edges(df: DataFrame, payload_col: str = "html",
         sigs = sigs.select(id_col, "dhash")
     blocks = dhash_blocks(sigs, hamming_threshold, id_col=id_col)
     pairs = bucket_pairs(
-        blocks, ["block_id", "block_val"], id_col=id_col,
+        blocks, ["block_id", "val_a", "val_b"], id_col=id_col,
         cap=max_bucket_size,
     ).dropDuplicates(["a", "b"])
     sa = sigs.select(F.col(id_col).alias("a"), F.col("dhash").alias("_ha"))

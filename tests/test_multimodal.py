@@ -425,31 +425,62 @@ def test_image_dhash_kernel_bit_layout():
     assert int(packed.view(np.uint64)[0].astype(np.int64)) == expect
 
 
-def test_dhash_blocks_pigeonhole_exact():
-    """Any two hashes within Hamming distance k agree on >= 1 of the k+1
-    blocks (pigeonhole) — brute-checked over planted bit flips at every
-    position, plus a negative: k+1 flips spread one per block can miss."""
-    k = 4
-    n_blocks, width = k + 1, 64 // (k + 1)
+def test_dhash_blocks_pigeonhole_pairs_exact():
+    """Any two hashes within Hamming distance k share >= 1 of the
+    C(k+2, 2) two-block combination keys: <= k flips damage <= k of the
+    k+2 blocks, leaving >= 2 clean — brute-checked over planted flips,
+    plus a negative: k+1 flips spread across k+1 distinct blocks leave
+    only one clean block and no clean PAIR."""
+    from itertools import combinations
 
-    def blocks(sig):
+    k = 4
+    m, width = k + 2, 64 // (k + 2)
+
+    def pair_keys(sig):
         u = sig & 0xFFFFFFFFFFFFFFFF
-        return [(u >> (i * width)) & ((1 << width) - 1)
-                for i in range(n_blocks)]
+        sl = [(u >> (i * width)) & ((1 << width) - 1) for i in range(m)]
+        return {(i, j, sl[i], sl[j]) for i, j in combinations(range(m), 2)}
 
     base = 0x1234_5678_9ABC_DEF0
-    for flip_positions in ([3], [0, 63], [5, 17, 29, 41]):
+    for flip_positions in ([3], [0, 59], [5, 17, 29, 41], [0, 1, 2, 3]):
         other = base
         for p in flip_positions:
             other ^= 1 << p
-        shared = [i for i in range(n_blocks)
-                  if blocks(base)[i] == blocks(other)[i]]
-        assert shared, f"no shared block for flips {flip_positions}"
+        assert pair_keys(base) & pair_keys(other), \
+            f"no shared block pair for flips {flip_positions}"
     miss = base
-    for i in range(n_blocks):
-        miss ^= 1 << (i * width)  # one flip inside every block
-    assert not [i for i in range(n_blocks)
-                if blocks(base)[i] == blocks(miss)[i]]
+    for i in range(k + 1):
+        miss ^= 1 << (i * width)  # one flip in each of k+1 distinct blocks
+    assert not (pair_keys(base) & pair_keys(miss))
+
+
+def test_dhash_blocks_threshold_validation():
+    import pandas as pd  # noqa: F401  (spark-free kernel check)
+
+    from pysparkdedup.multimodal import dhash_blocks
+
+    with pytest.raises(ValueError, match=r"\[0, 30\]"):
+        dhash_blocks(None, -1)
+    with pytest.raises(ValueError, match=r"\[0, 30\]"):
+        dhash_blocks(None, 31)
+
+
+def test_image_dhash_corrupt_payload_nulls(spark):
+    """Non-image bytes in the payload column (an HTML page, a truncated
+    PNG) produce a null dhash row, not a task failure — one corrupt image
+    must not kill a corpus-scale job."""
+    from pysparkdedup.multimodal import image_dhash, png_encode_gray
+
+    rows = [
+        ("u/good", png_encode_gray(9, 8, _grid_bytes(0))),
+        ("u/html", b"<html><body>not an image</body></html>"),
+        ("u/trunc", png_encode_gray(9, 8, _grid_bytes(1))[:20]),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    sigs = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert sigs["u/good"] is not None
+    assert sigs["u/html"] is None
+    assert sigs["u/trunc"] is None
 
 
 def test_image_dup_clusters_planted_recall(spark):

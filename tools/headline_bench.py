@@ -40,8 +40,12 @@ def main() -> None:
         [sys.executable, os.path.join(REPO, "tools", "scaling_bench.py"),
          "--worker", str(cpus), str(runs), job],
         capture_output=True, text=True, env=env, cwd=REPO)
-    line = proc.stdout.strip().splitlines()[-1]
-    res = json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(
+            f"worker local[{cpus}] produced no result (stderr above)")
+    res = json.loads(lines[-1])
     res.update(job=job, n_docs=n, runs_per_level=runs,
                docs_per_sec=round(n / res["seconds"], 1))
     with open(out, "w") as fh:
