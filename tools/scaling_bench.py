@@ -241,13 +241,26 @@ def _job_imagededup(spark, path: str):
             yield pd.DataFrame({"url": pdf["url"], "html": payloads})
 
     images = src.mapInPandas(gen, "url string, html binary")
-    ledger = image_dedup_ledger(images)
+    ledger = image_dedup_ledger(images).persist()
     row = (
         ledger.withColumn(
             "line", F.concat_ws("\x1f", "url", "dhash", "cluster_key"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.crc32("line")).alias("crc"))
         .collect()[0]
     )
+    # Cluster-structure sanity on stderr (crc alone cannot see a recall
+    # collapse — a ledger of all singletons is perfectly deterministic):
+    # with ~n/4 planted families, most images must sit in >=2-member
+    # clusters. Not part of the timed contract line (stdout json only).
+    dup = (
+        ledger.groupBy("cluster_key").count()
+        .filter(F.col("count") >= 2)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("dup_images"))
+        .collect()[0]
+    )
+    print(f"imagededup: {int(dup['dup_images'])}/{int(row['n'])} images "
+          f"in multi-member clusters", file=sys.stderr)
+    ledger.unpersist()
     return int(row["n"]), int(row["crc"])
 
 
