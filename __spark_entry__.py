@@ -2377,7 +2377,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_sum(list_transform(
                        regexp_extract_all(coalesce(text, ''),
                                           '\\p{{L}}+|\\p{{N}}+'),
-                       p -> greatest(ceil(length(p) / 4)::BIGINT, 1))),
+                       p -> greatest(ceil(length(p)::DOUBLE / 4)::BIGINT, 1))),
                        0) AS n_subwords
             FROM documents
         """,

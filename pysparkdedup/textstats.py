@@ -50,11 +50,12 @@ def subword_count(text_col: str = "text") -> Column:
         ),
         lambda t: t != "",
     )
-    # long words split every ~4 chars, the BPE-ish length heuristic
+    # long words split every ~4 chars, the BPE-ish length heuristic.
+    # BIGINT accumulator to match the oracle's column width exactly.
     return F.aggregate(
-        pieces, F.lit(0),
+        pieces, F.lit(0).cast("long"),
         lambda acc, w: acc + F.greatest(
-            F.ceil(F.length(w) / F.lit(4)).cast("int"), F.lit(1)),
+            F.ceil(F.length(w) / F.lit(4)).cast("long"), F.lit(1).cast("long")),
     )
 
 
