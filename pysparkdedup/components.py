@@ -90,6 +90,56 @@ def _driver_union_find(edge_rows, url_type) -> tuple[list, T.StructType]:
     return rows, schema
 
 
+def value_contracted_clusters(sigs: DataFrame, value_edges: DataFrame,
+                              vals: DataFrame, value_col: str,
+                              id_col: str = "url") -> DataFrame:
+    """Expand components over DISTINCT signature values back to per-id
+    clusters — the exact-duplicate contraction shared by the simhash and
+    image dHash clusterers.
+
+    Ids sharing one 64-bit signature value are at Hamming distance 0, so
+    they are ALWAYS one cluster; running candidate generation, verify and
+    the component fixpoint over distinct values (hundreds) instead of ids
+    (millions at corpus scale) shrinks the pair explosion quadratically
+    while provably preserving the output: the id-level graph is the value
+    graph with each value blown up into a clique, so contracting it cannot
+    merge or split a component. Blocking keys and the bit_count verify are
+    pure functions of the value, hence identical in value space.
+
+    - ``sigs``        : (id, value) — one row per id, null values excluded
+                        by the inner join at the end;
+    - ``value_edges`` : (a, b) verified edges between distinct values;
+    - ``vals``        : (value, _n, _vmin) — per-value id count and min id
+                        (the caller computes it for blocking anyway);
+    - returns (id_col, cluster_key) with cluster_key = 'cc:' + min id of
+      the component, exactly the uncontracted contract: members are ids
+      whose value has >= 2 ids (an exact-duplicate clique is a component
+      even with no cross-value edge) or participates in a verified edge.
+    """
+    comp = connected_components(value_edges)
+    vlab = (
+        vals.join(
+            comp.select(F.col("url").alias(value_col),
+                        F.col("cluster_key").alias("_grp")),
+            value_col, "left")
+        # internal group id: the value component's label, or the value
+        # itself for a same-value-only clique ('cc:'-prefixed labels can
+        # never collide with a bare numeric value string)
+        .withColumn(
+            "_grp",
+            F.coalesce(
+                F.col("_grp"),
+                F.when(F.col("_n") >= 2, F.col(value_col).cast("string"))))
+        .filter(F.col("_grp").isNotNull())
+    )
+    gmin = vlab.groupBy("_grp").agg(F.min("_vmin").alias("_gmin"))
+    labels = vlab.join(gmin, "_grp").select(
+        value_col,
+        F.concat(F.lit("cc:"), F.col("_gmin")).alias("cluster_key"))
+    return sigs.join(labels, value_col, "inner").select(
+        F.col(id_col).alias("url"), "cluster_key")
+
+
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                          max_iter: int = 25,
                          on_nonconverged: str = "raise",

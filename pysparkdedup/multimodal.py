@@ -620,17 +620,54 @@ def image_dup_clusters(df: DataFrame, payload_col: str = "html",
     """(id, cluster_key) for perceptual image-duplicate components —
     cluster_key = min id of the component (numeric min for numeric ids,
     string min for string ids — deterministic at any parallelism). Only
-    images that appear in a verified edge are returned; the caller
-    left-joins and coalesces to self for singleton rows."""
-    from .cache import cache_scope
-    from .components import connected_components
+    images whose dhash has >= 2 copies or appears in a verified edge are
+    returned (identical membership to edge-level clustering); the caller
+    left-joins and coalesces to self for singleton rows.
+
+    Exact-duplicate contraction: blocking, candidate pairing, the
+    bit_count verify and the component fixpoint all run over DISTINCT
+    dhash VALUES, not images — re-encoded/rescaled copies hash
+    identically, so value-space is typically orders of magnitude smaller
+    than image-space and the per-bucket pair explosion (quadratic in
+    bucket size) collapses with it. Verification needs NO signature
+    joins: the candidate pair IS the two values. Output is provably
+    identical (components.value_contracted_clusters); ``max_bucket_size``
+    now caps distinct-VALUE buckets, which also keeps the salted-star
+    recall degrade away until value-level skew is truly pathological."""
+    from pyspark import StorageLevel
+
+    from .cache import cache_scope, track
+    from .components import value_contracted_clusters
+    from .pairs import bucket_pairs
 
     with cache_scope():
-        out = connected_components(
-            image_dup_edges(df, payload_col=payload_col, id_col=id_col,
-                            hamming_threshold=hamming_threshold,
-                            max_bucket_size=max_bucket_size, sigs=sigs,
-                            fake_decode=fake_decode).select("a", "b"))
+        if sigs is None:
+            sigs = track(
+                image_dhash(df, payload_col=payload_col, id_col=id_col,
+                            fake_decode=fake_decode)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        else:
+            sigs = sigs.select(id_col, "dhash")
+        # one skinny row per distinct value: feeds blocking AND the
+        # component expansion (count + min id ride the same aggregation)
+        vals = track(
+            sigs.filter(F.col("dhash").isNotNull())
+            .groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.min(id_col).alias("_vmin"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        blocks = dhash_blocks(
+            vals.select(F.col("dhash").alias("_vid"), "dhash"),
+            hamming_threshold, id_col="_vid")
+        edges = (
+            bucket_pairs(blocks, ["block_id", "val_a", "val_b"],
+                         id_col="_vid", cap=max_bucket_size)
+            .dropDuplicates(["a", "b"])
+            .filter(F.bit_count(F.col("a").bitwiseXOR(F.col("b")))
+                    <= hamming_threshold)
+        )
+        out = value_contracted_clusters(sigs, edges, vals, "dhash",
+                                        id_col=id_col)
     return out.select(F.col("url").alias(id_col),
                       F.col("cluster_key")) if id_col != "url" else out
 

@@ -81,13 +81,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("url", text_col).mapInPandas(compute, schema=SIMHASH_SCHEMA)
 
 
-def simhash_blocks(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, block_id, block_val): (k+1) pigeonhole blocks of the signature."""
+def simhash_blocks(sig_df: DataFrame, cfg: DedupConfig,
+                   id_col: str = "url") -> DataFrame:
+    """(id, block_id, block_val): (k+1) pigeonhole blocks of the signature."""
     n_blocks = cfg.hamming_threshold + 1
     width = 64 // n_blocks
     mask = (1 << width) - 1
     return sig_df.filter(F.col("simhash").isNotNull()).select(
-        "url",
+        id_col,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_blocks - 1}), "
@@ -129,11 +130,41 @@ def simhash_edges(pages: DataFrame, cfg: DedupConfig,
 
 def simhash_clusters(pages: DataFrame, cfg: DedupConfig,
                      sigs: DataFrame | None = None) -> DataFrame:
-    """(url, cluster_key) for SimHash components — feed pipeline.run_clustered."""
-    from .cache import cache_scope
+    """(url, cluster_key) for SimHash components — feed pipeline.run_clustered.
+
+    Exact-duplicate contraction (same as image_dup_clusters): blocking,
+    pairing, the bit_count verify and the component fixpoint run over
+    DISTINCT simhash VALUES — exact/near-exact duplicate docs collapse to
+    one value each, so per-bucket pair counts stop being quadratic in the
+    duplicate multiplicity, and verification needs no signature joins
+    (the candidate pair IS the two values). Output is provably identical
+    (components.value_contracted_clusters)."""
+    from pyspark import StorageLevel
+
+    from .cache import cache_scope, track
+    from .components import value_contracted_clusters
 
     # The fixpoint materializes the edges eagerly; release the signature /
     # bucket-size caches on return (see cache.py).
     with cache_scope():
-        return connected_components(
-            simhash_edges(pages, cfg, sigs=sigs).select("a", "b"))
+        if sigs is None:
+            sigs = simhash_signatures(pages)
+        sigs = track(
+            sigs.select("url", "simhash").persist(StorageLevel.MEMORY_AND_DISK))
+        vals = track(
+            sigs.filter(F.col("simhash").isNotNull())
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("_n"), F.min("url").alias("_vmin"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        blocks = simhash_blocks(
+            vals.select(F.col("simhash").alias("_vid"), "simhash"), cfg,
+            id_col="_vid")
+        edges = (
+            bucket_pairs(blocks, ["block_id", "block_val"], id_col="_vid",
+                         cap=cfg.max_bucket_size)
+            .dropDuplicates(["a", "b"])
+            .filter(F.bit_count(F.col("a").bitwiseXOR(F.col("b")))
+                    <= cfg.hamming_threshold)
+        )
+        return value_contracted_clusters(sigs, edges, vals, "simhash",
+                                         id_col="url")
