@@ -179,19 +179,30 @@ def _resample_gray(gray: bytes, w: int, h: int, tw: int, th: int) -> bytes:
     """Deterministic area-average (box) resample of an 8-bit grayscale
     bitmap. Used by BOTH the Pillow and stdlib decode paths so a PNG yields
     identical features in every environment (PIL's default bicubic would
-    couple output values to the Pillow version). numpy, no Python per-pixel
-    loops over the source."""
+    couple output values to the Pillow version).
+
+    One integral-image (2D prefix sum) pass + a vectorized gather replaces
+    the former per-target-cell Python loop (tw*th numpy slice-mean calls
+    per image — the decode kernel's dominant cost for small targets like
+    the 9x8 dHash grid). Bit-identical: region sums are exact int64, and
+    truncating the float64 mean equals integer floor division here (the
+    mean of uint8 values is a rational with denominator `count`, never
+    within one ulp of an integer unless it IS one)."""
     import numpy as np
 
     a = np.frombuffer(gray, np.uint8).reshape(h, w)
-    out = np.empty((th, tw), np.uint8)
-    for ty in range(th):
-        y0, y1 = ty * h // th, max(ty * h // th + 1, (ty + 1) * h // th)
-        for tx in range(tw):
-            x0 = tx * w // tw
-            x1 = max(x0 + 1, (tx + 1) * w // tw)
-            out[ty, tx] = int(a[y0:y1, x0:x1].mean())
-    return out.tobytes()
+    ii = np.zeros((h + 1, w + 1), np.int64)
+    ii[1:, 1:] = np.cumsum(a, axis=0, dtype=np.int64).cumsum(axis=1)
+    ty = np.arange(th, dtype=np.int64)
+    tx = np.arange(tw, dtype=np.int64)
+    y0 = ty * h // th
+    y1 = np.maximum(y0 + 1, (ty + 1) * h // th)
+    x0 = tx * w // tw
+    x1 = np.maximum(x0 + 1, (tx + 1) * w // tw)
+    sums = (ii[y1[:, None], x1[None, :]] - ii[y0[:, None], x1[None, :]]
+            - ii[y1[:, None], x0[None, :]] + ii[y0[:, None], x0[None, :]])
+    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (sums // counts).astype(np.uint8).tobytes()
 
 
 def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
@@ -525,7 +536,8 @@ def image_dhash(df: DataFrame, payload_col: str = "html",
                 dtype="Int64")
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": vals})
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=schema)
 
 
 def dhash_blocks(sig_df: DataFrame, hamming_threshold: int,

@@ -61,6 +61,16 @@ def bucket_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    # Runtime dispatch on ACTUAL skew (AQE philosophy): most invocations
+    # have zero hot buckets, yet the hot branch still costs a broadcast
+    # job, two window stages and a distinct — per invocation, at any data
+    # size. One LIMIT-1 count against the (persisted, already-needed)
+    # sizes frame detects the common case and prunes the whole hot
+    # subtree from the plan; when skew IS present the full salted-star
+    # machinery runs unchanged.
+    hot_exists = (
+        sizes.filter(F.col("_bsize") > cap).limit(1).count() > 0)
+
     # --- cold: full pairwise via sorted members array, all JVM ------------
     # The inner join drops singleton buckets — the vast majority of an LSH
     # banding — BEFORE the heavy collect_list; shuffle_hash skips the
@@ -68,8 +78,10 @@ def bucket_pairs(
     # stage), and the join's hash partitioning feeds the groupBy
     # exchange-free. Scale-safe: the build side is one skinny row per
     # colliding cold bucket, partition-bounded.
+    cold_sizes = (sizes.filter(F.col("_bsize") <= cap) if hot_exists
+                  else sizes)
     cold_rows = ids.join(
-        sizes.filter(F.col("_bsize") <= cap).drop("_bsize").hint("shuffle_hash"),
+        cold_sizes.drop("_bsize").hint("shuffle_hash"),
         on=bucket_cols, how="inner",
     )
     cold = (
@@ -84,6 +96,9 @@ def bucket_pairs(
             )
         ).alias("p")
     ).select("p.a", "p.b")
+
+    if not hot_exists:
+        return cold_pairs
 
     # --- hot: salted two-level star, window-only (no arrays) --------------
     # Hot keys are FEW by the definition of skew: broadcast them, so the hot

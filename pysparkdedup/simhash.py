@@ -61,13 +61,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                 bits = np.unpackbits(
                     occ_hashes.view(np.uint8).reshape(-1, 8), axis=1,
                     bitorder="little")
-                # Segment sums via cumsum (np.add.reduceat on axis 0 is
-                # catastrophically slow for wide rows). votes = 2*bitsum - n.
-                c = np.cumsum(bits, axis=0, dtype=np.int64)  # (total, 64)
+                # Segment sums via add.reduceat with an int32 accumulator:
+                # 3x the int64 full-batch cumsum (which materializes a
+                # (total, 64) int64 intermediate — pure DRAM traffic) and
+                # bit-identical, since per-doc bit counts are exact
+                # integers in any width >= log2(doc_len). votes =
+                # 2*bitsum - n.
                 lens_nz = doc_lens[~empty]
-                ends = np.cumsum(lens_nz) - 1
-                bitsum = c[ends]
-                bitsum[1:] -= c[ends[:-1]]
+                offs = np.zeros(len(lens_nz), dtype=np.int64)
+                np.cumsum(lens_nz[:-1], out=offs[1:])
+                bitsum = np.add.reduceat(
+                    bits.astype(np.int32), offs, axis=0).astype(np.int64)
                 votes = 2 * bitsum - lens_nz[:, None]  # (nd, 64)
                 out_bits = (votes > 0).astype(np.uint8)
                 packed = np.packbits(out_bits, axis=1,
@@ -78,7 +82,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                 dtype="Int64")
             yield pd.DataFrame({"url": pdf["url"], "simhash": vals})
 
-    return df.select("url", text_col).mapInPandas(compute, schema=SIMHASH_SCHEMA)
+    return df.select("url", text_col).mapInPandas(
+        compute, schema=SIMHASH_SCHEMA)
 
 
 def simhash_blocks(sig_df: DataFrame, cfg: DedupConfig,
@@ -132,39 +137,16 @@ def simhash_clusters(pages: DataFrame, cfg: DedupConfig,
                      sigs: DataFrame | None = None) -> DataFrame:
     """(url, cluster_key) for SimHash components — feed pipeline.run_clustered.
 
-    Exact-duplicate contraction (same as image_dup_clusters): blocking,
-    pairing, the bit_count verify and the component fixpoint run over
-    DISTINCT simhash VALUES — exact/near-exact duplicate docs collapse to
-    one value each, so per-bucket pair counts stop being quadratic in the
-    duplicate multiplicity, and verification needs no signature joins
-    (the candidate pair IS the two values). Output is provably identical
-    (components.value_contracted_clusters)."""
-    from pyspark import StorageLevel
-
-    from .cache import cache_scope, track
-    from .components import value_contracted_clusters
+    Stays on the id-level edge path deliberately: the exact-duplicate
+    value contraction that pays off for image dHash (re-encoded copies
+    hash identically, value space is tiny) was measured a NET LOSS for
+    text simhash — 64-bit simhashes of non-identical texts essentially
+    never collide (4965 distinct values over 5000 bench docs), so the
+    contraction's extra aggregation + expansion joins buy nothing."""
+    from .cache import cache_scope
 
     # The fixpoint materializes the edges eagerly; release the signature /
     # bucket-size caches on return (see cache.py).
     with cache_scope():
-        if sigs is None:
-            sigs = simhash_signatures(pages)
-        sigs = track(
-            sigs.select("url", "simhash").persist(StorageLevel.MEMORY_AND_DISK))
-        vals = track(
-            sigs.filter(F.col("simhash").isNotNull())
-            .groupBy("simhash")
-            .agg(F.count(F.lit(1)).alias("_n"), F.min("url").alias("_vmin"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        blocks = simhash_blocks(
-            vals.select(F.col("simhash").alias("_vid"), "simhash"), cfg,
-            id_col="_vid")
-        edges = (
-            bucket_pairs(blocks, ["block_id", "block_val"], id_col="_vid",
-                         cap=cfg.max_bucket_size)
-            .dropDuplicates(["a", "b"])
-            .filter(F.bit_count(F.col("a").bitwiseXOR(F.col("b")))
-                    <= cfg.hamming_threshold)
-        )
-        return value_contracted_clusters(sigs, edges, vals, "simhash",
-                                         id_col="url")
+        return connected_components(
+            simhash_edges(pages, cfg, sigs=sigs).select("a", "b"))

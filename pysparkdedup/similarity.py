@@ -70,59 +70,80 @@ def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
         T.StructField("cosine", T.DoubleType(), True),
     ])
 
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        ea = np.vstack(pdf["_ea"].to_numpy()).astype(np.float64)
-        eb = np.vstack(pdf["_eb"].to_numpy()).astype(np.float64)
-        dot = np.zeros(len(pdf), np.float64)
-        na = np.zeros(len(pdf), np.float64)
-        nb = np.zeros(len(pdf), np.float64)
+    def _fold_mats(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+        dot = np.zeros(len(ea), np.float64)
+        na = np.zeros(len(ea), np.float64)
+        nb = np.zeros(len(ea), np.float64)
         for d in range(ea.shape[1]):  # ordered left fold per dim
             ca, cb = ea[:, d], eb[:, d]
             dot += ca * cb
             na += ca * ca
             nb += cb * cb
-        cos = dot / (np.sqrt(na) * np.sqrt(nb))
-        return pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "cosine": cos})
+        return dot / (np.sqrt(na) * np.sqrt(nb))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def _flat(col, n_rows: int):
+        """(n_rows, dim) float64 view of a clean Arrow list<float> column,
+        or None when the column is dirty (nulls / ragged lengths). A list
+        column is one contiguous values buffer plus offsets, so a clean
+        batch reshapes WITHOUT any per-row work — no 10^5-element object
+        arrays, no vstack."""
+        import pyarrow.compute as pc
+
+        if col.null_count or n_rows == 0:
+            return None
+        lens = np.asarray(pc.list_value_length(col))
+        if (lens != lens[0]).any() or lens[0] == 0:
+            return None
+        flat = np.asarray(col.flatten())
+        if flat.size != n_rows * int(lens[0]):
+            return None
+        return flat.reshape(n_rows, int(lens[0])).astype(np.float64)
+
+    def score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            try:
-                # Fast path: clean batch, one vstack per side. Only
-                # _fold's own failure means a dirty batch — yield outside
-                # the try so an exception thrown INTO the generator at the
-                # yield point (consumer/Arrow errors) propagates instead
-                # of silently re-scoring the batch via the fallback.
-                out = _fold(pdf)
-            except (ValueError, TypeError):
-                out = None
-            if out is not None:
-                yield out
+            ea = _flat(batch.column(2), n)
+            eb = _flat(batch.column(3), n)
+            if ea is not None and eb is not None and ea.shape == eb.shape:
+                cos = _fold_mats(ea, eb)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1), pa.array(cos)],
+                    names=["a", "b", "cosine"])
                 continue
-            # Dirty batch: a null or ragged embedding broke the vstack.
-            # cosine_col's column algebra yields a null cosine for such a
-            # pair (zip_with null-pads, aggregate propagates null) and the
-            # caller's threshold filter drops it — reproduce that: drop
-            # pairs with a missing side or mismatched lengths, score the
-            # rest grouped by (shared) length. One dirty row must not
-            # abort a 100-TB job.
+            # Dirty batch: a null or ragged embedding. cosine_col's column
+            # algebra yields a null cosine for such a pair (zip_with
+            # null-pads, aggregate propagates null) and the caller's
+            # threshold filter drops it — reproduce that: drop pairs with
+            # a missing side or mismatched lengths, score the rest grouped
+            # by (shared) length. One dirty row must not abort a 100-TB job.
+            pdf = batch.to_pandas()
             lens_a = np.fromiter(
                 (len(v) if v is not None else -1
-                 for v in pdf["_ea"].to_numpy()), np.int64, len(pdf))
+                 for v in pdf["_ea"].to_numpy()), np.int64, n)
             lens_b = np.fromiter(
                 (len(v) if v is not None else -1
-                 for v in pdf["_eb"].to_numpy()), np.int64, len(pdf))
+                 for v in pdf["_eb"].to_numpy()), np.int64, n)
             keep = (lens_a > 0) & (lens_a == lens_b)
             for length in np.unique(lens_a[keep]):
-                yield _fold(pdf[keep & (lens_a == length)])
+                sub = pdf[keep & (lens_a == length)]
+                cos = _fold_mats(
+                    np.vstack(sub["_ea"].to_numpy()).astype(np.float64),
+                    np.vstack(sub["_eb"].to_numpy()).astype(np.float64))
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame({"a": sub["a"], "b": sub["b"],
+                                  "cosine": cos}),
+                    preserve_index=False)
 
     ea = emb.select(F.col(id_col).alias("a"), F.col(emb_col).alias("_ea"))
     eb = emb.select(F.col(id_col).alias("b"), F.col(emb_col).alias("_eb"))
     return (
         pairs.join(ea, "a").join(eb, "b")
         .select("a", "b", "_ea", "_eb")
-        .mapInPandas(score, schema=schema)
+        .mapInArrow(score, schema=schema)
     )
 
 
@@ -243,25 +264,29 @@ def hyperplane_buckets(df: DataFrame, n_tables: int = 8, n_bits: int = 12,
                     n_tables, n_bits, mat.shape[1], seed)
             planes = state["planes"]
             ids = pdf[id_col].to_numpy()
-            frames = []
             weights = (1 << np.arange(n_bits)).astype(np.int64)
-            for t in range(n_tables):
-                # Ordered LEFT-FOLD over dims (d = 0..dim-1), vectorized
-                # across the batch: bit-identical to the oracle's
-                # list_reduce((acc, v) -> acc + v) replay, unlike a BLAS
-                # matmul whose pairwise-summation order is unspecified and
-                # could flip the sign of a projection within ~1e-12 of
-                # zero. Cost stays O(dim) fused numpy ops per table —
-                # signature generation is not the candidate-join hot path.
-                proj = np.zeros((mat.shape[0], n_bits), dtype=np.float64)
-                pt = planes[t]
-                for dmi in range(mat.shape[1]):
-                    proj += mat[:, dmi, None] * pt[dmi]
-                signs = proj > 0  # (batch, n_bits)
-                bucket = (signs.astype(np.int64) * weights).sum(axis=1)
-                frames.append(pd.DataFrame(
-                    {"_id": ids, "table_id": t, "bucket": bucket}))
-            yield pd.concat(frames, ignore_index=True)
+            # Ordered LEFT-FOLD over dims (d = 0..dim-1), vectorized across
+            # the batch AND all tables at once (each (table, bit)
+            # accumulator is independent, so folding them side by side in
+            # one (batch, n_tables*n_bits) array keeps the per-accumulator
+            # addition order identical): bit-identical to the oracle's
+            # list_reduce((acc, v) -> acc + v) replay, unlike a BLAS matmul
+            # whose pairwise-summation order is unspecified and could flip
+            # the sign of a projection within ~1e-12 of zero. O(dim) fused
+            # numpy ops per batch instead of O(dim * n_tables).
+            pflat = planes.transpose(1, 0, 2).reshape(
+                mat.shape[1], n_tables * n_bits)  # (dim, tables*bits)
+            proj = np.zeros((mat.shape[0], n_tables * n_bits), np.float64)
+            for dmi in range(mat.shape[1]):
+                proj += mat[:, dmi, None] * pflat[dmi]
+            signs = (proj > 0).reshape(len(ids), n_tables, n_bits)
+            buckets = (signs.astype(np.int64) * weights).sum(axis=2)
+            yield pd.DataFrame({
+                "_id": np.tile(ids, n_tables),
+                "table_id": np.repeat(
+                    np.arange(n_tables, dtype=np.int32), len(ids)),
+                "bucket": buckets.T.reshape(-1),
+            })
 
     return df.select(
         F.col(id_col).alias(id_col), emb_col
