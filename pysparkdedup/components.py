@@ -180,21 +180,50 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     # Materialize the edge input once: the symmetric union references it
     # twice, and Spark recomputes shared subtrees (no DAG-level CSE) — for
     # LSH edges that would mean running candidate generation + verification
-    # twice. The edge count rides this job as a CollectMetrics node so the
-    # small-graph dispatch costs no extra job.
+    # twice.
     import uuid
 
     spark = edges.sparkSession
-    obs_n = Observation(f"cc_n_edges_{uuid.uuid4().hex[:8]}")
-    edges = materialize(
-        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .observe(obs_n, F.count(F.lit(1)).alias("n")))
-    n_edges = obs_n.get["n"] or 0
+    slim = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sample = None
+    if reliable:
+        # Cluster-durable path: one checkpoint job with the edge count
+        # riding it as a CollectMetrics node, then a collect for small
+        # graphs — the checkpoint must exist anyway to survive executor
+        # loss mid-fixpoint.
+        obs_n = Observation(f"cc_n_edges_{uuid.uuid4().hex[:8]}")
+        edges = materialize(slim.observe(obs_n, F.count(F.lit(1)).alias("n")))
+        n_edges = obs_n.get["n"] or 0
+        if small_graph_edges > 0 and n_edges <= small_graph_edges:
+            sample = edges.collect()
+    else:
+        # Local path: a LIMIT-(K+1) collect through a persist answers "is
+        # this graph small?" AND fetches the rows in ONE incremental job
+        # (CollectLimit scans partitions progressively and stops at K+1) —
+        # the former checkpoint-then-collect pair cost two full jobs per
+        # invocation. Large graphs abort the probe early, leaving the
+        # touched partitions cached for the fixpoint below; the persist
+        # also covers the symmetric union's double read.
+        from pyspark import StorageLevel
 
-    if small_graph_edges > 0 and n_edges <= small_graph_edges:
+        from .cache import track
+
+        edges = track(slim.persist(StorageLevel.MEMORY_AND_DISK))
+        if small_graph_edges > 0:
+            sample = edges.limit(small_graph_edges + 1).collect()
+            if len(sample) > small_graph_edges:
+                sample = None
+        if sample is None:
+            # Large graph: truncate the edge lineage before the fixpoint
+            # (iteration plans reference the edges twice per step; without
+            # the checkpoint each re-plan re-optimizes the full candidate
+            # lineage). Reads through the probe's partial cache.
+            edges = materialize(edges)
+
+    if sample is not None:
         url_type = edges.schema["a"].dataType
         rows, schema = _driver_union_find(
-            ((r["a"], r["b"]) for r in edges.collect()), url_type)
+            ((r["a"], r["b"]) for r in sample), url_type)
         return spark.createDataFrame(rows, schema)
     # No distinct(): min-aggregation is idempotent over duplicate edges, and
     # the dedup shuffle would cost more than it saves.

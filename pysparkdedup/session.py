@@ -54,6 +54,15 @@ def get_spark(
         # with the 64MB default, a 100MB shuffle runs as 1-2 tasks and
         # serializes whole stages of the pipeline.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold, and let AQE rewrite SMJ->SHJ for post-shuffle
+        # partitions under 64m (guide §3.1/§9): the engine's join spine is
+        # groupBy + join-back on the same key over slim frames, where the
+        # SMJ sorts are pure overhead. Build-side memory stays bounded by
+        # the AQE threshold + skew splitting at any scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
