@@ -116,6 +116,17 @@ def value_contracted_clusters(sigs: DataFrame, value_edges: DataFrame,
       whose value has >= 2 ids (an exact-duplicate clique is a component
       even with no cross-value edge) or participates in a verified edge.
     """
+    labels = value_component_labels(value_edges, vals, value_col)
+    return sigs.join(labels, value_col, "inner").select(
+        F.col(id_col).alias("url"), "cluster_key")
+
+
+def value_component_labels(value_edges: DataFrame, vals: DataFrame,
+                           value_col: str) -> DataFrame:
+    """(value, cluster_key) for every distinct signature value that is in
+    a component — the value-keyed half of ``value_contracted_clusters``,
+    exposed so ledger-style callers can LEFT-join it on the value column
+    directly instead of paying a second id-keyed corpus join."""
     comp = connected_components(value_edges)
     vlab = (
         vals.join(
@@ -133,11 +144,9 @@ def value_contracted_clusters(sigs: DataFrame, value_edges: DataFrame,
         .filter(F.col("_grp").isNotNull())
     )
     gmin = vlab.groupBy("_grp").agg(F.min("_vmin").alias("_gmin"))
-    labels = vlab.join(gmin, "_grp").select(
+    return vlab.join(gmin, "_grp").select(
         value_col,
         F.concat(F.lit("cc:"), F.col("_gmin")).alias("cluster_key"))
-    return sigs.join(labels, value_col, "inner").select(
-        F.col(id_col).alias("url"), "cluster_key")
 
 
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",

@@ -649,8 +649,6 @@ def image_dup_clusters(df: DataFrame, payload_col: str = "html",
     from pyspark import StorageLevel
 
     from .cache import cache_scope, track
-    from .components import value_contracted_clusters
-    from .pairs import bucket_pairs
 
     with cache_scope():
         if sigs is None:
@@ -660,28 +658,44 @@ def image_dup_clusters(df: DataFrame, payload_col: str = "html",
                 .persist(StorageLevel.MEMORY_AND_DISK))
         else:
             sigs = sigs.select(id_col, "dhash")
-        # one skinny row per distinct value: feeds blocking AND the
-        # component expansion (count + min id ride the same aggregation)
-        vals = track(
-            sigs.filter(F.col("dhash").isNotNull())
-            .groupBy("dhash")
-            .agg(F.count(F.lit(1)).alias("_n"),
-                 F.min(id_col).alias("_vmin"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        blocks = dhash_blocks(
-            vals.select(F.col("dhash").alias("_vid"), "dhash"),
-            hamming_threshold, id_col="_vid")
-        edges = (
-            bucket_pairs(blocks, ["block_id", "val_a", "val_b"],
-                         id_col="_vid", cap=max_bucket_size)
-            .dropDuplicates(["a", "b"])
-            .filter(F.bit_count(F.col("a").bitwiseXOR(F.col("b")))
-                    <= hamming_threshold)
-        )
-        out = value_contracted_clusters(sigs, edges, vals, "dhash",
-                                        id_col=id_col)
+        labels = _dhash_value_labels(sigs, hamming_threshold,
+                                     max_bucket_size, id_col)
+        out = sigs.join(labels, "dhash", "inner").select(
+            F.col(id_col).alias("url"), "cluster_key")
     return out.select(F.col("url").alias(id_col),
                       F.col("cluster_key")) if id_col != "url" else out
+
+
+def _dhash_value_labels(sigs: DataFrame, hamming_threshold: int,
+                        max_bucket_size: int, id_col: str) -> DataFrame:
+    """(dhash, cluster_key) labels over DISTINCT dhash values: blocking ->
+    skew-capped bucket pairing -> join-free bit_count verify (the pair IS
+    the two values) -> component fixpoint -> min-id labels."""
+    from pyspark import StorageLevel
+
+    from .cache import track
+    from .components import value_component_labels
+    from .pairs import bucket_pairs
+
+    # one skinny row per distinct value: feeds blocking AND the
+    # component expansion (count + min id ride the same aggregation)
+    vals = track(
+        sigs.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.min(id_col).alias("_vmin"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    blocks = dhash_blocks(
+        vals.select(F.col("dhash").alias("_vid"), "dhash"),
+        hamming_threshold, id_col="_vid")
+    edges = (
+        bucket_pairs(blocks, ["block_id", "val_a", "val_b"],
+                     id_col="_vid", cap=max_bucket_size)
+        .dropDuplicates(["a", "b"])
+        .filter(F.bit_count(F.col("a").bitwiseXOR(F.col("b")))
+                <= hamming_threshold)
+    )
+    return value_component_labels(edges, vals, "dhash")
 
 
 def image_dedup_ledger(df: DataFrame, payload_col: str = "html",
@@ -691,27 +705,32 @@ def image_dedup_ledger(df: DataFrame, payload_col: str = "html",
     """(id, dhash, cluster_key) for EVERY input row — the writeable ledger
     form of ``image_dup_clusters``: duplicate components carry the
     component's min id, singletons (and undecodable/null payloads) their
-    own id. Signatures are computed once and persisted; they feed the
-    pigeonhole blocking, both verify-join sides, and the final join-back."""
+    own id. Signatures are computed once and persisted; the value-keyed
+    component labels LEFT-join back on dhash DIRECTLY (null dhash never
+    matches, so undecodable rows coalesce to themselves), saving the
+    second id-keyed corpus join the per-id clusters frame would cost."""
     from pyspark import StorageLevel
 
-    from .cache import track
+    from .cache import cache_scope, track
 
     sigs = track(
         image_dhash(df, payload_col=payload_col, id_col=id_col,
                     fake_decode=fake_decode)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    clusters = image_dup_clusters(
-        df, payload_col=payload_col, id_col=id_col,
-        hamming_threshold=hamming_threshold,
-        max_bucket_size=max_bucket_size, sigs=sigs,
-        fake_decode=fake_decode)
-    return (
-        sigs.join(clusters, id_col, "left")
-        .select(
-            id_col, "dhash",
-            F.coalesce(
-                "cluster_key",
-                F.concat(F.lit("cc:"), F.col(id_col).cast("string")))
-            .alias("cluster_key"))
-    )
+    with cache_scope():
+        labels = _dhash_value_labels(sigs, hamming_threshold,
+                                     max_bucket_size, id_col)
+        ledger = (
+            sigs.join(labels, "dhash", "left")
+            .select(
+                id_col, "dhash",
+                F.coalesce(
+                    "cluster_key",
+                    F.concat(F.lit("cc:"), F.col(id_col).cast("string")))
+                .alias("cluster_key"))
+        )
+        # Materialize inside the scope: the component fixpoint has already
+        # run eagerly, the remaining work is slim label joins, and the
+        # caller gets a frame that no longer depends on the scoped caches.
+        ledger = ledger.localCheckpoint(eager=True)
+    return ledger
