@@ -62,8 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the (url, dhash, cluster_key) ledger to --output)")
     p.add_argument("--hamming-threshold", type=int, default=4,
                    help="image-dedup mode: max dHash Hamming distance for a "
-                        "duplicate pair (pigeonhole blocking keeps recall "
-                        "exact at this distance)")
+                        "duplicate pair (pigeonhole blocking over distinct "
+                        "dhash values keeps recall exact at this distance "
+                        "while no value-bucket exceeds the internal "
+                        "max_bucket_size cap of 256 distinct values; "
+                        "over-cap buckets degrade to salted-star candidates)")
     p.add_argument("--embeddings", default=None,
                    help="tiered mode: optional (vec_id, embedding) parquet "
                         "enabling the semantic tier (vec_id matches url)")

@@ -510,10 +510,16 @@ def image_dhash(df: DataFrame, payload_col: str = "html",
         T.StructField("dhash", T.LongType(), True),
     ])
 
+    def _twos(v: int) -> int:
+        # explicit little-endian + two's-complement wrap: a native-order
+        # uint64 view would flip the pinned bit layout on big-endian hosts
+        # (breaking the oracle replay and cross-env signature reuse)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     def _hash_one(payload: bytes) -> int | None:
         if fake_decode:
             digest = hashlib.blake2b(payload, digest_size=8).digest()
-            return int(np.frombuffer(digest, np.uint64)[0].astype(np.int64))
+            return _twos(int.from_bytes(digest, "little"))
         # Undecodable payloads (non-image bytes in the html column, truncated
         # files, codecs absent) null out per-row instead of failing the task:
         # one corrupt image must not kill a corpus-scale job, and the ledger
@@ -526,7 +532,7 @@ def image_dhash(df: DataFrame, payload_col: str = "html",
             _resample_gray(gray, w, h, tw, th), np.uint8).reshape(th, tw)
         bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint8)  # (th, tw-1)
         packed = np.packbits(bits.reshape(-1), bitorder="little")
-        return int(packed.view(np.uint64)[0].astype(np.int64))
+        return _twos(int.from_bytes(packed.tobytes(), "little"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -352,6 +352,14 @@ def drop_boilerplate_lines(
     set (every footer variant in the crawl). AQE decides at runtime from
     the aggregated size — broadcast when it fits, shuffle join (count-only
     state, partial-agg absorbed) when it does not.
+
+    Null entries in the lines array are KEPT in every document: a null
+    line never matches the frequency dim (null joins nothing), so it
+    cannot be boilerplate and the positional drop passes it through —
+    consistent with documents that have no hits at all. (The pre-r7
+    ``array_contains`` formulation dropped nulls from any document with a
+    hit; the positional semantics are the deliberate fix, pinned by
+    test_drop_boilerplate_null_lines_are_kept.)
     """
     del keep_order  # order is always preserved by the array filter
     from pyspark import StorageLevel

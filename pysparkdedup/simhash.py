@@ -32,12 +32,23 @@ SIMHASH_SCHEMA = T.StructType([
 ])
 
 
+def _le64(arr: np.ndarray) -> np.ndarray:
+    """uint64 array with a guaranteed little-endian byte layout so that
+    ``.view(np.uint8)`` / packbits round-trips pin the bit numbering on any
+    host (free on little-endian machines)."""
+    import sys
+
+    return arr if sys.byteorder == "little" else arr.byteswap()
+
+
 def _simhash_of_tokens(tok_hashes: np.ndarray, counts: np.ndarray) -> int:
-    bits = np.unpackbits(tok_hashes.view(np.uint8).reshape(-1, 8), axis=1,
+    bits = np.unpackbits(_le64(tok_hashes).view(np.uint8).reshape(-1, 8),
+                         axis=1,
                          bitorder="little")  # (t, 64), bit j of each uint64
     votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
     out_bits = (votes > 0).astype(np.uint8)
-    packed = np.packbits(out_bits, bitorder="little").view(np.uint64)[0]
+    packed = _le64(
+        np.packbits(out_bits, bitorder="little").view(np.uint64))[0]
     return int(packed.astype(np.int64))  # two's-complement into Spark LongType
 
 
@@ -59,7 +70,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
             empty = doc_lens == 0
             if total:
                 bits = np.unpackbits(
-                    occ_hashes.view(np.uint8).reshape(-1, 8), axis=1,
+                    _le64(occ_hashes).view(np.uint8).reshape(-1, 8), axis=1,
                     bitorder="little")
                 # Segment sums via add.reduceat with an int32 accumulator:
                 # 3x the int64 full-batch cumsum (which materializes a
@@ -74,8 +85,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                     bits.astype(np.int32), offs, axis=0).astype(np.int64)
                 votes = 2 * bitsum - lens_nz[:, None]  # (nd, 64)
                 out_bits = (votes > 0).astype(np.uint8)
-                packed = np.packbits(out_bits, axis=1,
-                                     bitorder="little").view(np.uint64)[:, 0]
+                packed = _le64(np.packbits(out_bits, axis=1,
+                                           bitorder="little")
+                               .view(np.uint64))[:, 0]
                 out[~empty] = packed.astype(np.int64)
             vals = pd.array(
                 [None if empty[i] else int(out[i]) for i in range(ndocs)],

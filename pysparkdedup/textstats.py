@@ -147,7 +147,7 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
                 if len(s) < k:
                     fps.append(None)
                     continue
-                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4"
                                       ).astype(np.uint64)
                 n = len(codes) - k + 1
                 acc = np.zeros(n, dtype=np.uint64)

@@ -315,3 +315,26 @@ def test_keep_first_unique_and_empty_rows(spark):
     assert got[1]["n_dropped"] == 0
     assert got[2]["kept_lines"] == [] and got[2]["n_lines"] == 0
     assert got[3]["kept_lines"] == [] and got[3]["n_lines"] == 0
+
+
+def test_drop_boilerplate_null_lines_are_kept(spark):
+    """Null entries in the lines array are layout, not dedupable values:
+    they never enter the document-frequency aggregation (null groups join
+    nothing) and survive the positional drop in every document — including
+    documents that DO have boilerplate hits. Pins the position-membership
+    semantics (r7): the earlier array_contains formulation silently dropped
+    null lines from any doc with a hit."""
+    d = spark.createDataFrame(
+        [(1, ["promo", None, "keep me"]),
+         (2, ["promo", "other"]),
+         (3, ["promo", None]),
+         (4, [None, "solo"])],
+        "doc_id long, lines array<string>")
+    got = by_id(drop_boilerplate_lines(d, min_df=3))
+    assert got[1]["kept_lines"] == [None, "keep me"]
+    assert got[1]["n_dropped"] == 1
+    assert got[2]["kept_lines"] == ["other"]
+    assert got[3]["kept_lines"] == [None]
+    # a doc with no hits keeps nulls too (and is untouched)
+    assert got[4]["kept_lines"] == [None, "solo"]
+    assert got[4]["n_dropped"] == 0
