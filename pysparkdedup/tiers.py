@@ -98,12 +98,17 @@ def _exact_losers(pages: DataFrame, cfg: DedupConfig, id_col: str,
 
 def _cluster_losers(clusters: DataFrame) -> DataFrame:
     """(url, kept_by) from a (url, cluster_key) cluster frame: the winner is
-    min(url) per cluster, everyone else loses to it. Two-phase agg +
-    join-back on the cluster key — no window."""
-    winners = clusters.groupBy("cluster_key").agg(
-        F.min("url").alias("kept_by"))
+    min(url) per cluster, everyone else loses to it.
+
+    The clusterers (components.connected_components and the value-label
+    expansion) CONSTRUCT cluster_key as ``'cc:' + min(member url)``, so the
+    winner is already carried on every row — slicing it out of the key is a
+    shuffle-free projection, where the former groupBy + join-back paid a
+    full aggregation + join round per tier. Pinned by the clusterer
+    contract (min-label components); test_tiers exercises both tiers."""
     return (
-        clusters.join(winners, "cluster_key")
+        clusters.withColumn(
+            "kept_by", F.expr("substring(cluster_key, 4)"))
         .filter(F.col("url") != F.col("kept_by"))
         .select("url", "kept_by")
     )
