@@ -233,7 +233,14 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
         url_type = edges.schema["a"].dataType
         rows, schema = _driver_union_find(
             ((r["a"], r["b"]) for r in sample), url_type)
-        return spark.createDataFrame(rows, schema)
+        if not rows:
+            return spark.createDataFrame([], schema)
+        import pandas as pd
+
+        # Arrow path (enabled in session.py): ~2x the pickled-tuples
+        # parallelize for the typical driver-graph result size.
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "cluster_key"]), schema)
     # No distinct(): min-aggregation is idempotent over duplicate edges, and
     # the dedup shuffle would cost more than it saves.
     sym = edges.select(
