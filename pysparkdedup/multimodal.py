@@ -108,60 +108,80 @@ def png_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     if len(raw) < h * (stride + 1):
         raise ValueError("corrupt PNG: truncated pixel data")
 
+    import numpy as np
+
     bpp = channels  # bytes per pixel at 8-bit depth
-    prior = bytes(stride)
-    o = 0
-    pixels = bytearray(h * stride)
-    for y in range(h):
-        flt = raw[o]
-        cur = bytearray(raw[o + 1:o + 1 + stride])
-        o += 1 + stride
-        if flt == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif flt == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prior[i]) & 0xFF
-        elif flt == 3:  # Average
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((a + prior[i]) >> 1)) & 0xFF
-        elif flt == 4:  # Paeth
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                c = prior[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        elif flt != 0:
-            raise ValueError(f"corrupt PNG: filter {flt}")
-        pixels[y * stride:(y + 1) * stride] = cur
-        prior = cur
+    scan = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1)
+    filters = scan[:, 0]
+    if filters.max(initial=0) > 4:
+        bad = int(filters[filters > 4][0])
+        raise ValueError(f"corrupt PNG: filter {bad}")
+    data = scan[:, 1:]
+    # Unfilter. Filters 0/1/2 are fully vectorized per row (Sub is a
+    # per-channel uint8 cumsum — mod-256 wrap IS the spec's arithmetic);
+    # Average/Paeth keep the spec's sequential per-byte recurrence (each
+    # byte depends on the just-reconstructed left neighbor). The row loop
+    # itself stays: rows 2-4 depend on the prior row's RESULT.
+    if not filters.any():
+        pixels = np.ascontiguousarray(data)  # common case: one copy
+    else:
+        pixels = np.empty((h, stride), np.uint8)
+        zero_row = np.zeros(stride, np.uint8)
+        for y in range(h):
+            flt = filters[y]
+            row = data[y]
+            prior = pixels[y - 1] if y else zero_row
+            if flt == 0:
+                pixels[y] = row
+            elif flt == 1:  # Sub: per-channel prefix sum mod 256
+                np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.uint8,
+                          out=pixels[y].reshape(-1, bpp))
+            elif flt == 2:  # Up
+                np.add(row, prior, out=pixels[y])
+            elif flt == 3:  # Average
+                cur = bytearray(row.tobytes())
+                pr = prior
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + ((a + int(pr[i])) >> 1)) & 0xFF
+                pixels[y] = np.frombuffer(bytes(cur), np.uint8)
+            else:  # Paeth
+                cur = bytearray(row.tobytes())
+                pr = prior
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = int(pr[i])
+                    c = int(pr[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                    cur[i] = (cur[i] + pred) & 0xFF
+                pixels[y] = np.frombuffer(bytes(cur), np.uint8)
 
     def l24(r: int, g: int, b: int) -> int:
         return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
 
-    gray = bytearray(w * h)
+    flat = pixels.reshape(-1)
     if color_type == 0:
-        gray[:] = pixels
+        gray = flat
     elif color_type == 4:  # gray+alpha: drop alpha
-        gray[:] = pixels[0::2]
-    elif color_type == 2:
-        for i in range(w * h):
-            gray[i] = l24(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2])
-    elif color_type == 6:
-        for i in range(w * h):
-            gray[i] = l24(pixels[4 * i], pixels[4 * i + 1], pixels[4 * i + 2])
+        gray = np.ascontiguousarray(flat[0::2])
+    elif color_type in (2, 6):  # RGB / RGBA: vectorized exact integer luma
+        p = flat.reshape(-1, channels).astype(np.uint32)
+        gray = ((np.uint32(19595) * p[:, 0] + np.uint32(38470) * p[:, 1]
+                 + np.uint32(7471) * p[:, 2] + np.uint32(0x8000))
+                >> np.uint32(16)).astype(np.uint8)
     else:  # palette
         if palette is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
         lut = bytearray(256)  # translate() needs a full 256-entry table
         for j in range(len(palette) // 3):
             lut[j] = l24(palette[3 * j], palette[3 * j + 1], palette[3 * j + 2])
-        gray[:] = bytes(pixels).translate(bytes(lut))
-    return w, h, bytes(gray)
+        gray = np.frombuffer(
+            flat.tobytes().translate(bytes(lut)), np.uint8)
+    return w, h, gray.tobytes()
 
 
 def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:

@@ -565,3 +565,94 @@ def test_cli_image_dedup_mode(spark, tmp_path, capsys):
     assert got["u/solo1"]["cluster_key"] == "cc:u/solo1"
     assert got["u/null"]["dhash"] is None
     assert got["u/null"]["cluster_key"] == "cc:u/null"
+
+
+def test_png_unfilter_vectorized_matches_reference():
+    """The vectorized unfilter + luma conversion must be byte-identical to
+    the spec's per-byte recurrences for every filter type and color type.
+    Payloads are hand-built with CHOSEN per-row filter bytes (the encoder
+    only ever emits filter 0, so round-trips would not cover 1-4)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pysparkdedup.multimodal import png_decode_gray
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    def build_png(w, h, color_type, channels, filtered_rows, palette=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette)
+        out += chunk(b"IDAT", zlib.compress(filtered_rows))
+        return out + chunk(b"IEND", b"")
+
+    def reference_unfilter(raw, h, stride, bpp):
+        prior = bytes(stride)
+        o, pixels = 0, bytearray(h * stride)
+        for y in range(h):
+            flt = raw[o]
+            cur = bytearray(raw[o + 1:o + 1 + stride])
+            o += 1 + stride
+            if flt == 1:
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            elif flt == 2:
+                for i in range(stride):
+                    cur[i] = (cur[i] + prior[i]) & 0xFF
+            elif flt == 3:
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + ((a + prior[i]) >> 1)) & 0xFF
+            elif flt == 4:
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = prior[i]
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                    cur[i] = (cur[i] + pred) & 0xFF
+            pixels[y * stride:(y + 1) * stride] = cur
+            prior = cur
+        return bytes(pixels)
+
+    def l24(r, g, b):
+        return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+
+    rng = np.random.default_rng(1234)
+    for color_type, channels in [(0, 1), (2, 3), (3, 1), (4, 2), (6, 4)]:
+        for trial in range(12):
+            w = int(rng.integers(1, 24))
+            h = int(rng.integers(1, 24))
+            stride = w * channels
+            rows = []
+            for _ in range(h):
+                flt = int(rng.integers(0, 5))
+                rows.append(bytes([flt]) + rng.integers(
+                    0, 256, size=stride, dtype=np.uint8).tobytes())
+            raw = b"".join(rows)
+            palette = (rng.integers(0, 256, size=256 * 3, dtype=np.uint8)
+                       .tobytes() if color_type == 3 else None)
+            png = build_png(w, h, color_type, channels, raw, palette)
+            gw, gh, got = png_decode_gray(png)
+            assert (gw, gh) == (w, h)
+            pixels = reference_unfilter(raw, h, stride, channels)
+            if color_type == 0:
+                want = pixels
+            elif color_type == 4:
+                want = pixels[0::2]
+            elif color_type in (2, 6):
+                want = bytes(
+                    l24(pixels[channels * i], pixels[channels * i + 1],
+                        pixels[channels * i + 2]) for i in range(w * h))
+            else:
+                lut = bytes(l24(palette[3 * j], palette[3 * j + 1],
+                                palette[3 * j + 2]) for j in range(256))
+                want = pixels.translate(lut)
+            assert got == want, (color_type, w, h)
