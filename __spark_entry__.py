@@ -35,8 +35,24 @@ from pysparkdedup.config import DedupConfig
 TOKEN_SPLIT = r"[^\p{L}\p{N}_]+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor (guide §2.5 input skew / §6 minPartitionNum):
+    the sf test tables are single-file, single-row-group parquet, so the
+    scan is 1 unsplittable partition and every Arrow kernel chained before
+    the first shuffle runs on one core. Round-robin repartition to the
+    session's parallelism ONLY when the scan is narrower than the core
+    count — at corpus scale the scan is already thousands of splits and
+    this is a no-op (no shuffle added). Results are partitioning-
+    independent by the engine's determinism contract; the driver's oracle
+    hash is order-insensitive."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
