@@ -46,6 +46,23 @@ def cosine_col(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _fold_mats(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Row-wise cosine between two (n, dim) float64 matrices as an ordered
+    per-dimension left fold — the same operation order (and hence the same
+    IEEE doubles) as the column-algebra ``cosine_col`` and the DuckDB
+    ``list_reduce`` oracle replay; a BLAS matmul's pairwise-summation
+    order is unspecified and could differ in the last ulp."""
+    dot = np.zeros(len(ea), np.float64)
+    na = np.zeros(len(ea), np.float64)
+    nb = np.zeros(len(ea), np.float64)
+    for d in range(ea.shape[1]):  # ordered left fold per dim
+        ca, cb = ea[:, d], eb[:, d]
+        dot += ca * cb
+        na += ca * ca
+        nb += cb * cb
+    return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
 def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
                        id_col: str = "vec_id",
                        emb_col: str = "embedding") -> DataFrame:
@@ -69,17 +86,6 @@ def cosine_pairs_exact(pairs: DataFrame, emb: DataFrame,
         T.StructField("b", b_type, True),
         T.StructField("cosine", T.DoubleType(), True),
     ])
-
-    def _fold_mats(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
-        dot = np.zeros(len(ea), np.float64)
-        na = np.zeros(len(ea), np.float64)
-        nb = np.zeros(len(ea), np.float64)
-        for d in range(ea.shape[1]):  # ordered left fold per dim
-            ca, cb = ea[:, d], eb[:, d]
-            dot += ca * cb
-            na += ca * ca
-            nb += cb * cb
-        return dot / (np.sqrt(na) * np.sqrt(nb))
 
     def _flat(col, n_rows: int):
         """(n_rows, dim) float64 view of a clean Arrow list<float> column,
@@ -312,6 +318,88 @@ def _auto_n_bits(n_vectors: int, occupancy: int = TARGET_BUCKET_OCCUPANCY,
     return max(lo, min(hi, round(math.log2(n_vectors / occupancy))))
 
 
+def _bucket_scored_edges(members: DataFrame, id_col: str,
+                         emb_col: str) -> DataFrame:
+    """(a, b, cosine) for every within-bucket pair of ``members``
+    (id, emb, table_id, bucket) — pairing and exact-cosine scoring fused
+    into ONE aggregation + mapInArrow, so the embedding payload crosses
+    the Python boundary once per BUCKET MEMBER instead of twice per
+    CANDIDATE PAIR (the former pairs -> join(ea) -> join(eb) chain ships
+    each vector once per pair it appears in; at the target occupancy of
+    ~32 that is ~16 ships per vector per table vs exactly 1 here).
+
+    Members are sorted by id inside the bucket (JVM sort_array; ids are
+    unique so the embedding tiebreak is never reached), giving a < b pair
+    order — identical pair canonicalization to pairs.bucket_pairs. The
+    cosine is the same ordered per-dimension left fold as
+    ``cosine_pairs_exact`` (_fold_mats over float64 upcasts of the same
+    float32 values), so scores are bit-identical to the join path."""
+    st = F.struct(F.col(id_col).alias("_i"), F.col(emb_col).alias("_e"))
+    grouped = (
+        members.groupBy("table_id", "bucket")
+        .agg(F.sort_array(F.collect_list(st)).alias("_ms"))
+        .select("_ms")
+    )
+    id_type = members.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("a", id_type, True),
+        T.StructField("b", id_type, True),
+        T.StructField("cosine", T.DoubleType(), True),
+    ])
+
+    def score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ms = batch.column(0)
+            if isinstance(ms, pa.ChunkedArray):  # defensive; batches are flat
+                ms = ms.combine_chunks()
+            import pyarrow.compute as pc
+
+            offs = np.asarray(ms.offsets, dtype=np.int64)
+            lens = np.diff(offs)
+            starts = offs[:-1] - offs[0]  # offsets are absolute on slices
+            st_arr = ms.flatten()
+            ids = st_arr.field(0)
+            embs = st_arr.field(1)
+            if len(st_arr) == 0:
+                continue
+            elens = np.asarray(pc.list_value_length(embs))
+            dim = int(elens[0]) if len(elens) else 0
+            if embs.null_count == 0 and dim > 0 and (elens == dim).all():
+                mat = np.asarray(embs.flatten()).reshape(
+                    len(st_arr), dim).astype(np.float64)
+            else:
+                # Dirty vectors cannot occur via hyperplane_buckets (its
+                # vstack would have failed first); null-pad defensively so
+                # one bad row errors per-bucket, not per-task.
+                mat = np.zeros((len(st_arr), max(dim, 1)), np.float64)
+                for i, v in enumerate(embs.to_pylist()):
+                    if v is not None and len(v) == mat.shape[1]:
+                        mat[i] = v
+            ai_all, bi_all = [], []
+            for m in np.unique(lens):
+                if m < 2:
+                    continue
+                ti, tj = np.triu_indices(int(m), 1)
+                bstarts = starts[lens == m]
+                ai_all.append((bstarts[:, None] + ti[None, :]).ravel())
+                bi_all.append((bstarts[:, None] + tj[None, :]).ravel())
+            if not ai_all:
+                continue
+            ai = np.concatenate(ai_all)
+            bi = np.concatenate(bi_all)
+            cos = _fold_mats(mat[ai], mat[bi])
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(ai)), ids.take(pa.array(bi)),
+                 pa.array(cos)],
+                names=["a", "b", "cosine"])
+
+    return grouped.mapInArrow(score, schema=schema)
+
+
 def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
                         n_tables: int = 12, n_bits: int | None = None,
                         seed: int = 42, id_col: str = "vec_id",
@@ -345,16 +433,49 @@ def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
 
     if n_bits is None:
         n_bits = _auto_n_bits(emb.select(id_col).count())
-    buckets = hyperplane_buckets(emb, n_tables, n_bits, seed=seed,
-                                 id_col=id_col, emb_col=emb_col)
-    cand = bucket_pairs(
-        buckets.select("table_id", "bucket", F.col(id_col).alias("url")),
-        ["table_id", "bucket"], id_col="url", cap=max_bucket,
-    ).dropDuplicates(["a", "b"])
-    scored = track(
-        cosine_pairs_exact(cand, emb, id_col=id_col, emb_col=emb_col)
+    # Slim (id, table, bucket) rows persisted once: they feed the size
+    # aggregation, the hot-bucket probe AND the member join below, so the
+    # Python bucketing kernel runs exactly once (it used to run twice —
+    # once for the probe, once for candidate generation).
+    buckets = track(
+        hyperplane_buckets(emb, n_tables, n_bits, seed=seed,
+                           id_col=id_col, emb_col=emb_col)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    return scored.filter(F.col("cosine") >= threshold)
+    sizes = track(
+        buckets.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsize"))
+        .filter(F.col("_bsize") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    hot_exists = sizes.filter(F.col("_bsize") > max_bucket).limit(1).count() > 0
+    if hot_exists:
+        # Pathological value-skew (a bucket past the cap): fall back to the
+        # salted-star machinery wholesale — rare by construction (auto
+        # banding targets ~32 per bucket), and the star pairs need the
+        # id-keyed embedding join anyway. Result-identical to the fused
+        # path on the cold buckets.
+        cand = bucket_pairs(
+            buckets.select("table_id", "bucket", F.col(id_col).alias("url")),
+            ["table_id", "bucket"], id_col="url", cap=max_bucket,
+        ).dropDuplicates(["a", "b"])
+        scored = track(
+            cosine_pairs_exact(cand, emb, id_col=id_col, emb_col=emb_col)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        return scored.filter(F.col("cosine") >= threshold)
+    # Fused path (guide §8: decide with small rows, move heavy bytes once):
+    # drop singleton buckets on the SLIM rows, attach each vector once by
+    # id (AQE broadcasts the embedding frame when it fits; SHJ otherwise),
+    # then pair + exact-cosine inside one per-bucket aggregation. A pair
+    # colliding in several tables is scored per collision (identical fold,
+    # identical value) and canonicalized by dropDuplicates — same contract
+    # as the join path, minus two per-pair embedding joins and the
+    # candidate-pair exchange.
+    members = buckets.join(
+        sizes.drop("_bsize").hint("shuffle_hash"),
+        on=["table_id", "bucket"], how="inner",
+    ).join(emb.select(id_col, emb_col), id_col)
+    scored = _bucket_scored_edges(members, id_col, emb_col)
+    return (scored.dropDuplicates(["a", "b"])
+            .filter(F.col("cosine") >= threshold))
 
 
 def embedding_dup_clusters(emb: DataFrame, threshold: float = 0.95,
