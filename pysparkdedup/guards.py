@@ -206,8 +206,24 @@ def pair_diff_lengths(df: DataFrame, cfg: DedupConfig,
     )
 
 
+def guard_group_aggs(cfg: DedupConfig) -> list:
+    """The per-set aggregates the guard short-circuit reads — exposed so a
+    caller computing other per-set scalars on the same frame can fold them
+    into ONE groupBy pass and hand the result to ``apply_guards`` via
+    ``group_stats`` (pipeline._group_and_select does: guards + set-rep in
+    one aggregation instead of two full passes over the corpus)."""
+    return [
+        F.count(F.lit(1)).alias("_gd_n"),
+        F.min("n_bytes").alias("_gd_min_b"),
+        F.max("n_bytes").alias("_gd_max_b"),
+        F.min("raw_hash").alias("_gd_min_h"),
+        F.max("raw_hash").alias("_gd_max_h"),
+    ]
+
+
 def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
-                 max_eviction_group: int | None = None) -> DataFrame:
+                 max_eviction_group: int | None = None,
+                 group_stats: DataFrame | None = None) -> DataFrame:
     """Annotate rows with ``evicted`` (bool) and ``guard_skip_kind``
     ('size' | 'content' | null = whole-set skip).
 
@@ -238,13 +254,18 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
     # whitespace jitter) the engine must survive. raw_hash is non-null for all
     # non-rejected rows; all-null groups fail the short-circuit (coalesce
     # False), matching collect_set-size==1 semantics.
-    flagged = with_group_stats(df, key, [
-        F.count(F.lit(1)).alias("_gd_n"),
-        F.min("n_bytes").alias("_gd_min_b"),
-        F.max("n_bytes").alias("_gd_max_b"),
-        F.min("raw_hash").alias("_gd_min_h"),
-        F.max("raw_hash").alias("_gd_max_h"),
-    ])
+    # ``group_stats`` (a precomputed (key, guard_group_aggs...) frame) lets
+    # the caller share one aggregation pass across guards and other per-set
+    # scalars; the join below is the same null-safe join-back
+    # with_group_stats performs.
+    if group_stats is not None:
+        tmp = f"_gs_{key}"
+        flagged = df.join(
+            group_stats.withColumnRenamed(key, tmp),
+            on=F.col(key).eqNullSafe(F.col(tmp)), how="left",
+        ).drop(tmp)
+    else:
+        flagged = with_group_stats(df, key, guard_group_aggs(cfg))
     spread_ok = (
         F.lit(st < 0)
         | ((F.col("_gd_max_b") - F.col("_gd_min_b")) <= F.lit(st))
@@ -258,13 +279,23 @@ def apply_guards(df: DataFrame, cfg: DedupConfig, key: str = "cluster_key",
 
     # Verdicts exist only for rows of suspicious groups; everyone else gets
     # the defaults through the left join — no branch-and-union, so the
-    # upstream plan is computed once.
-    verdicts = (
+    # upstream plan is computed once. The verdict frame is persisted (slim:
+    # one row per suspicious-group member) because downstream per-set
+    # aggregations re-derive their input subtree (no DAG-level CSE) — e.g.
+    # the cascade's group-stats branch joins the guarded frame twice, and
+    # without the persist each re-derivation re-runs the Python eviction
+    # kernel (two FlatMapGroupsInPandas nodes in the exact-pipeline plan).
+    from pyspark import StorageLevel
+
+    from .cache import track
+
+    verdicts = track(
         flagged.filter(~passes)
         .select("url", "n_bytes", "raw_hash", "text", key)
         .groupBy(key)
         .applyInPandas(run, schema=_EVICT_SCHEMA)
         .select("url", "evicted", "guard_skip_kind")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return (
         df.join(verdicts, on="url", how="left")

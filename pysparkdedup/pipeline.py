@@ -28,12 +28,19 @@ from .strategy import apply_cascade
 FINAL_STATUS = ("rejected", "unique", "selected", "discarded", "skipped")
 
 
-def label_outcomes(df: DataFrame) -> DataFrame:
+def label_outcomes(df: DataFrame,
+                   rep_stats: DataFrame | None = None) -> DataFrame:
     """Fold guard + cascade annotations into final row status / set outcome.
 
     Expects: rejected, evicted, guard_skip_kind, selected, applied_strategy,
     set_skip_kind, cluster_key, url. Rows of guard-skipped sets never entered
     the cascade; their cascade columns are null.
+
+    ``rep_stats`` (optional): a precomputed (cluster_key, _rep_url) frame.
+    The rep depends only on (cluster_key, rejected, url) — all present
+    before guards/cascade — so a caller can fold it into an earlier
+    aggregation pass; without it the group-stats branch here re-derives
+    the ENTIRE guard + cascade lineage a second time (no DAG-level CSE).
     """
     status = (
         F.when(F.col("rejected"), "rejected")
@@ -55,9 +62,16 @@ def label_outcomes(df: DataFrame) -> DataFrame:
     # The rep is the min non-rejected url of the set (a rejected row can never
     # take the rep slot). Sharded groupBy + join-back (groupagg), not a
     # WindowExec: a mega-set's rep lookup is map-side combined.
-    joined = with_group_stats(df, "cluster_key", [
-        F.min(F.when(~F.col("rejected"), F.col("url"))).alias("_rep_url"),
-    ])
+    if rep_stats is not None:
+        joined = df.join(
+            rep_stats.withColumnRenamed("cluster_key", "_gs_cluster_key"),
+            on=F.col("cluster_key").eqNullSafe(F.col("_gs_cluster_key")),
+            how="left",
+        ).drop("_gs_cluster_key")
+    else:
+        joined = with_group_stats(df, "cluster_key", [
+            F.min(F.when(~F.col("rejected"), F.col("url"))).alias("_rep_url"),
+        ])
     set_rep = (~F.col("rejected")) & (F.col("url") == F.col("_rep_url"))
     return (
         joined.withColumn("status", status)
@@ -110,11 +124,32 @@ def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
     # work in cache.cache_scope() (as cli.main does) to reclaim it.
     ann = track(ann.persist(StorageLevel.MEMORY_AND_DISK))
 
+    # ONE per-set aggregation pass feeds both the guard short-circuit and
+    # label_outcomes' set rep: both read only pre-guard columns
+    # (cluster_key, n_bytes, raw_hash, rejected, url), so folding them
+    # into a single sharded groupBy saves a full corpus aggregation AND
+    # keeps the label stage from re-deriving the guard+cascade lineage in
+    # its stats branch. The frame is one slim row per set — persisted,
+    # scope-released with the rest.
+    from .guards import guard_group_aggs
+
+    st_, ct_ = cfg.size_threshold, cfg.content_threshold
+    set_aggs = [
+        F.min(F.when(~F.col("rejected"), F.col("url"))).alias("_rep_url")]
+    guards_on = st_ >= 0 or ct_ >= 0
+    if guards_on:
+        set_aggs = guard_group_aggs(cfg) + set_aggs
+    set_stats = track(
+        ann.groupBy("cluster_key").agg(*set_aggs)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
     # One linear plan, no branch-and-union (each branch would recompute the
     # whole upstream): rejected rows carry their own url as cluster_key so
     # they never pollute a real group's windows, guards attach verdicts via a
     # left join, and the cascade excludes non-pool rows by column algebra.
-    guarded = apply_guards(ann, cfg)
+    guarded = apply_guards(
+        ann, cfg,
+        group_stats=(set_stats.drop("_rep_url") if guards_on else None))
 
     # The cascade runs on the post-eviction pool of guard-passing sets
     # (ref deduplicate.py:449-456: eviction reduces the pool, then strategies
@@ -126,7 +161,8 @@ def _group_and_select(ann: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     cascaded = apply_cascade(guarded, cfg, ts_col=cfg.ts_col,
                              participates=participates)
-    return label_outcomes(cascaded)
+    return label_outcomes(
+        cascaded, rep_stats=set_stats.select("cluster_key", "_rep_url"))
 
 
 def run_incremental(pages: DataFrame, cfg: DedupConfig, checkpoint_path: str,
