@@ -196,21 +196,30 @@ def tiered_dedup(
 
     # Tier 3: semantic over what's left, if embeddings are available.
     if emb is not None:
+        from pyspark import StorageLevel
+
         from .similarity import embedding_dup_clusters
 
-        # Materialize the survivor-embedding frame: embedding_dup_clusters
-        # consumes it four times (auto-banding count, LSH buckets, and both
-        # sides of the candidate-pair cosine join), and its lineage is two
-        # corpus-wide anti-joins over the embedding scan — without the
-        # barrier each consumer re-derives the survivor pool. Unlike the
-        # text corpus (never cached), this frame is slim: id + vector,
-        # ~1-2% of corpus bytes at web scale.
-        sub = materialize(
-            emb.withColumn("url", F.col(emb_id_col).cast("string")).join(
-                surv2.select("url"), "url").drop("url"))
+        # Cache the survivor-embedding frame: embedding_dup_clusters
+        # consumes it several times (bucketing kernel, the member-vector
+        # attach, auto-banding count when n_bits is unset), and its
+        # lineage is two corpus-wide anti-joins over the embedding scan —
+        # without the cache each consumer re-derives the survivor pool.
+        # A LAZY persist (materialized by the clusterer's first job)
+        # replaces the former eager localCheckpoint barrier — one fewer
+        # scheduling round per cascade; reliable mode keeps the durable
+        # eager checkpoint. Unlike the text corpus (never cached), this
+        # frame is slim: id + vector, ~1-2% of corpus bytes at web scale.
+        sub = emb.withColumn("url", F.col(emb_id_col).cast("string")).join(
+            surv2.select("url"), "url").drop("url")
+        sub = (materialize(sub) if reliable
+               else sub.persist(StorageLevel.MEMORY_AND_DISK))
         sem_clusters = embedding_dup_clusters(
             sub, emb_threshold, id_col=emb_id_col, **(emb_kwargs or {}))
         l_sem = materialize(_cluster_losers(sem_clusters))
+        if not reliable:
+            # l_sem is materialized; nothing lazy reads sub any more.
+            sub.unpersist(blocking=False)
     else:
         l_sem = pages.sparkSession.createDataFrame(
             [], "url string, kept_by string")

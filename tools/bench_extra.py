@@ -64,37 +64,46 @@ def job_image(spark, sf_dir):
                 payloads.append(png_encode_gray(9 * s, 8 * s, big.tobytes()))
             yield pd.DataFrame({"url": urls, "html": payloads})
 
+    # Mirrors the SHIPPED value-contracted path (image_dedup_ledger /
+    # _dhash_value_labels): blocking, pairing, verify and the component
+    # fixpoint run over DISTINCT dhash VALUES, not image ids.
     pages = d.mapInPandas(gen, "url string, html binary")
     st = {}
     lap = lap_factory(st)
     sigs = image_dhash(pages).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     lap("gen_decode_dhash")
-    blocks = dhash_blocks(sigs, _IMG_HAMMING_K)
-    pairs = bucket_pairs(blocks, ["block_id", "val_a", "val_b"], id_col="url",
-                         cap=256).dropDuplicates(["a", "b"]).persist(
+    vals = (sigs.filter(F.col("dhash").isNotNull())
+            .groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("_n"), F.min("url").alias("_vmin"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    n_vals = vals.count()
+    lap("value_contract")
+    blocks = dhash_blocks(
+        vals.select(F.col("dhash").alias("_vid"), "dhash"),
+        _IMG_HAMMING_K, id_col="_vid")
+    pairs = bucket_pairs(blocks, ["block_id", "val_a", "val_b"],
+                         id_col="_vid", cap=256).dropDuplicates(["a", "b"])
+    edges = pairs.filter(
+        F.bit_count(F.col("a").bitwiseXOR(F.col("b"))) <= _IMG_HAMMING_K
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()
+    lap("blocks_pairs_verify")
+    from pysparkdedup.components import value_component_labels
+
+    labels = value_component_labels(edges, vals, "dhash").persist(
         StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    lap("blocks_pairs")
-    sa = sigs.select(F.col("url").alias("a"), F.col("dhash").alias("_ha"))
-    sb = sigs.select(F.col("url").alias("b"), F.col("dhash").alias("_hb"))
-    edges = (pairs.join(sa, "a").join(sb, "b")
-             .withColumn("hamming",
-                         F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
-             .filter(F.col("hamming") <= _IMG_HAMMING_K)
-             .select("a", "b").persist(StorageLevel.MEMORY_AND_DISK))
-    edges.count()
-    lap("verify")
-    clusters = connected_components(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    clusters.count()
-    lap("components")
-    ledger = sigs.join(clusters, "url", "left").select(
+    labels.count()
+    lap("components_labels")
+    ledger = sigs.join(labels, "dhash", "left").select(
         "url", "dhash",
         F.coalesce("cluster_key",
                    F.concat(F.lit("cc:"), F.col("url"))).alias("cluster_key"))
     ledger.agg(F.count(F.lit(1)), F.countDistinct("cluster_key")).collect()
     lap("ledger")
-    for df in (sigs, pairs, edges, clusters):
+    st["n_values"] = n_vals
+    st["n_value_edges"] = n_edges
+    for df in (sigs, vals, edges, labels):
         df.unpersist()
     return st
 
