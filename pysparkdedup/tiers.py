@@ -237,8 +237,17 @@ def tiered_dedup(
         .unionByName(l_sem.select(
             "url", F.lit(TIER_SEMANTIC).alias("tier"), "kept_by"))
     )
+    # The kept rows only need the LOSER URL SET, which resolution does not
+    # change — anti-join against the raw checkpointed maps, not the
+    # resolved ledger, so the resolve-join subtree is not re-derived a
+    # second time inside the anti-join branch (no DAG-level CSE).
+    losers = (
+        l_exact.select("url")
+        .unionByName(l_near.select("url"))
+        .unionByName(l_sem.select("url"))
+    )
     kept = (
-        base.select("url").join(ledger.select("url"), "url", "left_anti")
+        base.select("url").join(losers, "url", "left_anti")
         .select("url", F.lit(TIER_KEPT).alias("tier"),
                 F.col("url").alias("kept_by"))
     )
