@@ -212,3 +212,46 @@ def test_pair_diff_lengths_debug_surface(pages_factory):
     assert out[("u/a", "u/b")]["content_diff"] == 0  # identical bodies
     assert out[("u/a", "u/c")]["content_diff"] > 0
     assert out[("u/a", "u/b")]["size_diff"] == 0
+
+
+def test_fused_set_stats_match_standalone_passes(pages_factory):
+    """The r8 shared-aggregation plumbing (apply_guards(group_stats=...) +
+    label_outcomes(rep_stats=...)) must produce byte-identical final
+    frames to the standalone per-stage aggregations."""
+    from pysparkdedup.exact import annotate, with_cluster_key
+    from pysparkdedup.guards import apply_guards
+    from pysparkdedup.pipeline import label_outcomes
+    from pysparkdedup.strategy import apply_cascade
+
+    rows = []
+    for i in range(40):
+        body = f"cluster {i % 7} body" + ("X" * (2000 * (i % 3)))
+        rows.append((f"u{i:03d}", ts(i), body, None))
+    pages = pages_factory(rows)
+    cfg = DedupConfig(strategies=("select-newest", "select-one"))
+
+    def tail(ann, fused: bool):
+        if fused:
+            from pysparkdedup.guards import guard_group_aggs
+
+            stats = ann.groupBy("cluster_key").agg(
+                *guard_group_aggs(cfg),
+                F.min(F.when(~F.col("rejected"), F.col("url")))
+                .alias("_rep_url"))
+            guarded = apply_guards(ann, cfg,
+                                   group_stats=stats.drop("_rep_url"))
+        else:
+            guarded = apply_guards(ann, cfg)
+        participates = (~F.col("rejected") & ~F.col("evicted")
+                        & F.col("guard_skip_kind").isNull())
+        cascaded = apply_cascade(guarded, cfg, ts_col=cfg.ts_col,
+                                 participates=participates)
+        rep = (stats.select("cluster_key", "_rep_url") if fused else None)
+        out = label_outcomes(cascaded, rep_stats=rep)
+        cols = ["url", "status", "set_outcome", "set_rep",
+                "applied_strategy", "evicted", "guard_skip_kind"]
+        return sorted(tuple(r[c] for c in cols)
+                      for r in out.select(*cols).collect())
+
+    ann = with_cluster_key(annotate(pages, cfg)).drop("html")
+    assert tail(ann, fused=True) == tail(ann, fused=False)

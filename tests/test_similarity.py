@@ -287,3 +287,57 @@ def test_cosine_pairs_exact_tolerates_dirty_embeddings(spark, emb):
                     spark.createDataFrame([key], "a long, b long"),
                     emb).collect()}[key]
     assert got[key] == expected
+
+
+def test_fused_bucket_scoring_matches_join_path(spark, emb):
+    """The r8 fused cold path (per-bucket pairing + mapInArrow cosine) must
+    emit exactly the pairs and bit-identical cosines of the former
+    bucket_pairs -> dropDuplicates -> cosine_pairs_exact join path."""
+    from pysparkdedup.cache import cache_scope
+    from pysparkdedup.pairs import bucket_pairs
+    from pysparkdedup.similarity import (
+        embedding_dup_edges, hyperplane_buckets)
+
+    with cache_scope():
+        got = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in embedding_dup_edges(
+                emb, threshold=-1.0, n_tables=6, n_bits=4).collect()
+        }
+    with cache_scope():
+        buckets = hyperplane_buckets(emb, 6, 4)
+        cand = bucket_pairs(
+            buckets.select("table_id", "bucket",
+                           F.col("vec_id").alias("url")),
+            ["table_id", "bucket"], id_col="url", cap=256,
+        ).dropDuplicates(["a", "b"])
+        want = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in cosine_pairs_exact(cand, emb).collect()
+        }
+    assert set(got) == set(want)
+    assert got  # non-trivial corpus: buckets must collide
+    for k in want:
+        assert got[k] == want[k]  # bit-identical fold
+
+
+def test_fused_bucket_scoring_hot_fallback_consistent(spark, emb):
+    """With a cap small enough to force the hot fallback, the edge set must
+    still be the salted-star degrade of bucket_pairs (pinned behavior) and
+    every emitted cosine must stay the exact fold value."""
+    from pysparkdedup.cache import cache_scope
+    from pysparkdedup.similarity import embedding_dup_edges
+
+    with cache_scope():
+        rows = embedding_dup_edges(
+            emb, threshold=-1.0, n_tables=2, n_bits=1, max_bucket=4).collect()
+    assert rows  # hot path produced star edges
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = {int(v): i for i, v in enumerate(pdf["vec_id"].tolist())}
+    for r in rows[:50]:
+        a, b = mat[ids[r["a"]]], mat[ids[r["b"]]]
+        dot = na = nb = 0.0
+        for d in range(len(a)):  # same ordered fold
+            dot += a[d] * b[d]; na += a[d] * a[d]; nb += b[d] * b[d]
+        assert r["cosine"] == dot / (na ** 0.5 * nb ** 0.5)
