@@ -474,8 +474,12 @@ def embedding_dup_edges(emb: DataFrame, threshold: float = 0.95,
         on=["table_id", "bucket"], how="inner",
     ).join(emb.select(id_col, emb_col), id_col)
     scored = _bucket_scored_edges(members, id_col, emb_col)
-    return (scored.dropDuplicates(["a", "b"])
-            .filter(F.col("cosine") >= threshold))
+    # Threshold BEFORE the (a, b) canonicalization: a pair colliding in k
+    # tables carries k identical fold values, so filtering first is
+    # result-identical and the dedup exchange moves only the survivors
+    # (sub-threshold candidates — the vast majority — never shuffle).
+    return (scored.filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["a", "b"]))
 
 
 def embedding_dup_clusters(emb: DataFrame, threshold: float = 0.95,
